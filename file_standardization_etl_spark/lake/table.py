@@ -1,0 +1,426 @@
+"""LakeTable — parquet + versioned JSON snapshots ("mini-Iceberg").
+
+Layout on disk::
+
+    table_dir/
+      _meta/VERSION          # text: current snapshot number (os.replace → atomic)
+      _meta/v{N}.json        # snapshot N: schema, per-bucket file lists, props
+      data/s{N}/_bucket=K/*.parquet   # files written by snapshot N
+
+Design properties (the ones Iceberg would give us, and why they matter at
+100 TB):
+
+- **Snapshot isolation / atomic commit**: data files are written first,
+  then a new snapshot JSON, then the VERSION pointer is swapped with an
+  optimistic expected-version check. Readers resolve VERSION once and see
+  a consistent file list. A crashed writer leaves only unreferenced files.
+- **Hash-bucket layout**: every row lives in bucket
+  ``pmod(xxhash64(key), n_buckets)``. A MERGE touches only the buckets its
+  delta hashes into, so write amplification is bounded by
+  ``|affected buckets| / n_buckets`` of the table, not the whole table.
+  On a real cluster this layout would be registered as a bucketed catalog
+  table so the MERGE join needs no shuffle on the table side.
+- **Metadata-only schema evolution**: columns carry stable integer ids;
+  each snapshot records a schema version, and each file group remembers
+  the schema version it was written under. ``add_column`` /
+  ``rename_column`` / ``widen_type`` only write a new snapshot JSON —
+  zero data rewrite, like Iceberg. Reads reconcile old files by id
+  (rename), null-fill (add), and cast (widen).
+
+The reference has no table format at all (it appends to PostgreSQL via
+JDBC and "commits" by stored-proc + is_processed flag,
+``/root/reference/repomix-output.xml:9070-9095``); this module is the
+lake-native replacement demanded by the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class SchemaColumn:
+    id: int
+    name: str
+    type: str  # Spark DDL type string
+
+    def spark_type(self) -> T.DataType:
+        return T._parse_datatype_string(self.type)
+
+
+@dataclass
+class TableSchema:
+    version: int
+    columns: list[SchemaColumn]
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "columns": [{"id": c.id, "name": c.name, "type": c.type} for c in self.columns],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            version=d["version"],
+            columns=[SchemaColumn(c["id"], c["name"], c["type"]) for c in d["columns"]],
+        )
+
+    def names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def by_id(self) -> dict[int, SchemaColumn]:
+        return {c.id: c for c in self.columns}
+
+    def by_name(self) -> dict[str, SchemaColumn]:
+        return {c.name: c for c in self.columns}
+
+    def struct_type(self) -> T.StructType:
+        return T.StructType([T.StructField(c.name, c.spark_type(), True) for c in self.columns])
+
+
+# Widenings we allow, mirroring Iceberg's metadata-only type promotions.
+_WIDEN_OK = {
+    ("int", "bigint"),
+    ("float", "double"),
+    ("array<int>", "array<bigint>"),
+    ("int", "double"),
+}
+
+
+def bucket_expr(key: Column, n_buckets: int) -> Column:
+    """Deterministic bucket id for a key (engine-wide convention)."""
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class LakeTable:
+    """Versioned, bucketed parquet table with MERGE + schema evolution."""
+
+    META = "_meta"
+    DATA = "data"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ---------- metadata plumbing ----------
+
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, self.META)
+
+    def _version_file(self) -> str:
+        return os.path.join(self._meta_dir, "VERSION")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._version_file())
+
+    def current_version(self) -> int:
+        with open(self._version_file()) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def schema(self) -> TableSchema:
+        return TableSchema.from_json(self.snapshot()["schema"])
+
+    def properties(self) -> dict:
+        return self.snapshot().get("properties", {})
+
+    def _atomic_write(self, path: str, text: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def _commit(self, snap: dict, expected_version: int) -> None:
+        """Optimistic single-writer commit: snapshot file then pointer swap."""
+        if self.current_version() != expected_version:
+            raise CommitConflict(
+                f"expected v{expected_version}, found v{self.current_version()}"
+            )
+        v = expected_version + 1
+        snap["version"] = v
+        self._atomic_write(os.path.join(self._meta_dir, f"v{v}.json"), json.dumps(snap, indent=1))
+        self._atomic_write(self._version_file(), str(v))
+
+    # ---------- create ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        columns: list[tuple[str, str]],
+        key_column: str,
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        if t.exists():
+            raise FileExistsError(path)
+        schema = TableSchema(
+            version=1,
+            columns=[SchemaColumn(i + 1, n, ty) for i, (n, ty) in enumerate(columns)],
+        )
+        snap = {
+            "version": 0,
+            "key_column": key_column,
+            "n_buckets": n_buckets,
+            "schema": schema.to_json(),
+            "schema_versions": {"1": schema.to_json()},
+            "schema_log": [],
+            "files": {},  # bucket(str) -> {"path": str, "schema_version": int}
+            "properties": properties or {},
+        }
+        t._atomic_write(os.path.join(t._meta_dir, "v0.json"), json.dumps(snap, indent=1))
+        t._atomic_write(t._version_file(), "0")
+        return t
+
+    # ---------- read ----------
+
+    def read(self, buckets: list[int] | None = None, include_deleted_meta: bool = True) -> DataFrame:
+        """Current-snapshot scan, optionally bucket-pruned.
+
+        Files are read grouped by the schema version they were written
+        under; each group is reconciled to the current schema by column id
+        (rename = alias, add = null-fill, widen = cast) and unioned. The
+        number of live schema versions is tiny, so this is a handful of
+        parquet scans — each still gets Catalyst pushdown and pruning.
+        """
+        snap = self.snapshot()
+        cur = TableSchema.from_json(snap["schema"])
+        groups: dict[int, list[str]] = {}
+        for b, entry in snap["files"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            groups.setdefault(entry["schema_version"], []).append(entry["path"])
+        if not groups:
+            return self.spark.createDataFrame([], cur.struct_type())
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(groups.items()):
+            old = TableSchema.from_json(snap["schema_versions"][str(sv)])
+            old_by_id = old.by_id()
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for c in cur.columns:
+                o = old_by_id.get(c.id)
+                if o is None:
+                    cols.append(F.lit(None).cast(c.type).alias(c.name))
+                else:
+                    col = F.col(o.name)
+                    if o.type != c.type:
+                        col = col.cast(c.type)
+                    cols.append(col.alias(c.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------- write helpers ----------
+
+    def _write_buckets(self, df: DataFrame, version_hint: int) -> dict[str, str]:
+        """Write df (with ``_bucket`` column) partitioned by bucket; return
+        bucket -> directory map. One shuffle task per bucket → one file per
+        bucket (bounded small-file count at scale)."""
+        snap_dir = os.path.join(self.path, self.DATA, f"s{version_hint}-{uuid.uuid4().hex[:8]}")
+        n_buckets = self.snapshot()["n_buckets"]
+        (
+            df.repartition(n_buckets, "_bucket")
+            .sortWithinPartitions(self.snapshot()["key_column"])
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(snap_dir)
+        )
+        out: dict[str, str] = {}
+        for name in os.listdir(snap_dir):
+            if name.startswith("_bucket="):
+                out[name.split("=", 1)[1]] = os.path.join(snap_dir, name)
+        return out
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace the whole table content (used for seeding/compaction)."""
+        snap = self.snapshot()
+        v = snap["version"]
+        key = snap["key_column"]
+        cur = TableSchema.from_json(snap["schema"])
+        withb = df.select(*[F.col(n) for n in cur.names()]).withColumn(
+            "_bucket", bucket_expr(F.col(key), snap["n_buckets"])
+        )
+        new_files = self._write_buckets(withb, v + 1)
+        snap["files"] = {
+            b: {"path": p, "schema_version": cur.version} for b, p in new_files.items()
+        }
+        self._commit(snap, v)
+
+    # ---------- MERGE ----------
+
+    def merge(
+        self,
+        delta: DataFrame,
+        apply_fn,
+        properties_update: dict | None = None,
+        broadcast_threshold_rows: int | None = 2_000_000,
+        delta_rows: int | None = None,
+    ) -> None:
+        """Bucket-pruned MERGE: join current state of *affected buckets only*
+        with ``delta`` on the key and let ``apply_fn(old_cols, new_cols)``
+        produce the merged row expressions.
+
+        ``delta`` must contain the key column with **at most one row per
+        key** (run LWW dedup first); ``apply_fn(old, new)`` gets two dicts
+        of Columns (either side nullable where the key is one-sided) and
+        returns a dict name->Column for the output row (current schema
+        names).
+
+        Physical strategy, chosen by delta size:
+
+        - **broadcast** (micro-batch path): the lake side is NEVER
+          shuffled. Three broadcast-hash joins against the small delta —
+          ``old LEFT JOIN delta`` (updates + untouched in one scan),
+          ``old SEMI delta`` (matched keys, tiny), ``delta ANTI matched``
+          (brand-new keys) — then a union. Cost: two scans of the affected
+          buckets, zero exchanges of table data. At 100 TB this is the
+          difference between rewriting buckets at disk bandwidth and
+          paying a cluster-wide shuffle per micro-batch.
+        - **shuffle** (huge-delta fallback): plain full-outer join on the
+          key with AQE skew handling.
+
+        Unaffected buckets are carried forward by reference — no read, no
+        write.
+        """
+        snap = self.snapshot()
+        v = snap["version"]
+        key = snap["key_column"]
+        n_buckets = snap["n_buckets"]
+        cur = TableSchema.from_json(snap["schema"])
+
+        delta = delta.withColumn("_bucket", bucket_expr(F.col(key), n_buckets))
+        affected = [r["_bucket"] for r in delta.select("_bucket").distinct().collect()]
+        if not affected:
+            if properties_update:
+                snap["properties"].update(properties_update)
+                self._commit(snap, v)
+            return
+
+        old = self.read(buckets=affected)
+        n = delta_rows if delta_rows is not None else delta.count()
+        use_broadcast = broadcast_threshold_rows is not None and n <= broadcast_threshold_rows
+
+        old_pref = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
+        new_pref = delta.select([F.col(c).alias(f"__n_{c}") for c in delta.columns])
+        new_names = [c[len("__n_"):] for c in new_pref.columns]
+
+        def resolved(joined):
+            old_cols = {c: F.col(f"__o_{c}") for c in old.columns}
+            new_cols = {c: F.col(f"__n_{c}") for c in new_names}
+            out = apply_fn(old_cols, new_cols)
+            return joined.select(*[expr.alias(name) for name, expr in out.items()])
+
+        if use_broadcast:
+            cond = old_pref[f"__o_{key}"] == new_pref[f"__n_{key}"]
+            upserts = resolved(old_pref.join(F.broadcast(new_pref), cond, "left_outer"))
+            matched = old.join(
+                F.broadcast(delta.select(key)), on=key, how="left_semi"
+            ).select(key)
+            inserts_raw = delta.join(F.broadcast(matched), on=key, how="left_anti")
+            ins_pref = inserts_raw.select(
+                *[F.lit(None).cast(f.dataType).alias(f"__o_{f.name}") for f in old.schema.fields],
+                *[F.col(c).alias(f"__n_{c}") for c in inserts_raw.columns],
+            )
+            merged = upserts.unionByName(resolved(ins_pref))
+        else:
+            joined = old_pref.join(
+                new_pref, old_pref[f"__o_{key}"] == new_pref[f"__n_{key}"], "full_outer"
+            )
+            merged = resolved(joined)
+        merged = merged.withColumn("_bucket", bucket_expr(F.col(key), n_buckets))
+
+        new_files = self._write_buckets(merged, v + 1)
+        files = dict(snap["files"])
+        for b in affected:
+            files.pop(str(b), None)
+        for b, p in new_files.items():
+            files[b] = {"path": p, "schema_version": cur.version}
+        snap["files"] = files
+        if properties_update:
+            snap["properties"].update(properties_update)
+        self._commit(snap, v)
+
+    # ---------- schema evolution (metadata-only, like Iceberg) ----------
+
+    def apply_schema_change(self, change: dict, lsn: int | None = None) -> None:
+        """Apply one ``{"action": add_column|rename_column|widen_type, ...}``
+        event transactionally (new snapshot, zero data rewrite).
+
+        Mirrors the reference's dd_attribute_detail-driven renames
+        (``/root/reference/repomix-output.xml:7637-7649``) as real DDL.
+        """
+        snap = self.snapshot()
+        v = snap["version"]
+        cur = TableSchema.from_json(snap["schema"])
+        action = change["action"]
+        cols = {c.name: c for c in cur.columns}
+        if action == "add_column":
+            if change["name"] in cols:
+                raise ValueError(f"column exists: {change['name']}")
+            next_id = max(c.id for c in cur.columns) + 1
+            new_cols = cur.columns + [SchemaColumn(next_id, change["name"], change["type"])]
+        elif action == "rename_column":
+            if change["name"] not in cols:
+                raise ValueError(f"no such column: {change['name']}")
+            if change["new_name"] in cols:
+                raise ValueError(f"target name exists: {change['new_name']}")
+            new_cols = [
+                SchemaColumn(c.id, change["new_name"] if c.name == change["name"] else c.name, c.type)
+                for c in cur.columns
+            ]
+            if snap["key_column"] == change["name"]:
+                snap["key_column"] = change["new_name"]
+        elif action == "widen_type":
+            c = cols.get(change["name"])
+            if c is None:
+                raise ValueError(f"no such column: {change['name']}")
+            if (c.type, change["type"]) not in _WIDEN_OK:
+                raise ValueError(f"illegal widen {c.type} -> {change['type']}")
+            new_cols = [
+                SchemaColumn(x.id, x.name, change["type"] if x.name == change["name"] else x.type)
+                for x in cur.columns
+            ]
+        else:
+            raise ValueError(f"unknown schema action: {action}")
+        new_schema = TableSchema(version=cur.version + 1, columns=new_cols)
+        snap["schema"] = new_schema.to_json()
+        snap["schema_versions"][str(new_schema.version)] = new_schema.to_json()
+        snap["schema_log"].append({"lsn": lsn, "change": change})
+        self._commit(snap, v)
+
+    # ---------- maintenance ----------
+
+    def compact(self, expire_tombstones_below_lsn: int | None = None) -> None:
+        """Rewrite all buckets under the current schema version; optionally
+        drop tombstones whose last_lsn is below the global applied watermark
+        (safe: no event with a lower LSN can ever arrive again)."""
+        df = self.read()
+        if expire_tombstones_below_lsn is not None and "deleted" in df.columns:
+            df = df.filter(
+                (~F.col("deleted")) | (F.col("last_lsn") >= F.lit(expire_tombstones_below_lsn))
+            )
+        self.overwrite(df)

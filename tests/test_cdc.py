@@ -1,0 +1,171 @@
+"""End-to-end CDC replay vs the pure-Python dict oracle (bitwise
+token-array equality — the BASELINE.json judging criterion)."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_standardization_etl_spark.cdc.apply import CdcEngine
+from file_standardization_etl_spark.cdc.dedup import lww_maxby, lww_maxby_salted, lww_window
+from file_standardization_etl_spark.cdc.events import (
+    EventGenConfig,
+    events_df,
+    generate_events,
+)
+from file_standardization_etl_spark.cdc.oracle import OracleState, replay
+
+
+def assert_state_matches(engine: CdcEngine, oracle: OracleState):
+    spark_state = {
+        r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["n_tok"], r["source"], r["last_lsn"])
+        for r in engine.state().collect()
+    }
+    oracle_state = {
+        k: (list(v["tokens"]), v["n_tok"], v["source"], v["last_lsn"])
+        for k, v in oracle.live_docs().items()
+    }
+    assert spark_state == oracle_state  # bitwise token arrays, lsn, source
+    assert engine.applied_lsn() >= oracle.max_applied_lsn
+
+
+def make_engine(spark, tmp_path, **kw) -> CdcEngine:
+    e = CdcEngine(spark, str(tmp_path / "cdc"), **kw)
+    e.init()
+    return e
+
+
+def test_single_batch_matches_oracle(spark, tmp_path):
+    cfg = EventGenConfig(n_events=3000, n_docs=300, seed=7)
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    m = engine.apply_batch(events_df(spark, events), batch_id=0)
+    oracle = replay(events)
+    assert_state_matches(engine, oracle)
+    assert m.rows_quarantined == len(oracle.quarantine)
+    # quarantine contents match (lsn → reason)
+    got = {r["lsn"]: r["reason"] for r in engine.quarantine().collect()}
+    want = {e["lsn"]: e["reason"] for e in oracle.quarantine}
+    assert got == want
+
+
+def test_multi_batch_out_of_order_arrival(spark, tmp_path):
+    cfg = EventGenConfig(n_events=4000, n_docs=200, seed=11, shuffle_arrival=True)
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    oracle = OracleState()
+    # slice by arrival order (events within each slice are lsn-shuffled)
+    for i, lo in enumerate(range(0, len(events), 1000)):
+        sl = events[lo : lo + 1000]
+        engine.apply_batch(events_df(spark, sl), batch_id=i)
+        oracle = replay(sl, oracle)
+    assert_state_matches(engine, oracle)
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may re-deliver a batch after a crash — must be a no-op."""
+    cfg = EventGenConfig(n_events=2000, n_docs=100, seed=3)
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    b0, b1 = events[:1000], events[1000:]
+    engine.apply_batch(events_df(spark, b0), batch_id=0)
+    v_after_b0 = engine.table.current_version()
+    engine.apply_batch(events_df(spark, b0), batch_id=0)  # redelivery
+    engine.apply_batch(events_df(spark, b1), batch_id=1)
+    engine.apply_batch(events_df(spark, b1), batch_id=1)  # redelivery
+    oracle = replay(events)
+    assert_state_matches(engine, oracle)
+    # quarantine not duplicated either
+    assert engine.quarantine().count() == len(oracle.quarantine)
+
+
+def test_delete_not_resurrected_by_lower_lsn(spark, tmp_path):
+    """Tombstone keeps last_lsn: a straggler update with lower LSN arriving
+    in a later batch must not resurrect the doc (SURVEY.md §7.4)."""
+    engine = make_engine(spark, tmp_path)
+    ins = {
+        "lsn": 1, "op": "insert", "doc_id": "d1", "tokens": [1, 2], "n_tok": 2,
+        "source": "web", "schema_change": None, "ts": None,
+    }
+    dele = {**ins, "lsn": 5, "op": "delete", "tokens": None, "n_tok": None, "source": None}
+    engine.apply_batch(events_df(spark, [ins, dele]), batch_id=0)
+    assert engine.state().count() == 0
+    # straggler with lsn 3 (< 5) arrives later: global watermark alone would
+    # drop it; even engines without the watermark must honor last_lsn
+    late = {**ins, "lsn": 3, "tokens": [9], "n_tok": 1}
+    engine.apply_batch(events_df(spark, [late]), batch_id=1)
+    assert engine.state().count() == 0
+
+
+def test_schema_change_interleaved_with_data(spark, tmp_path):
+    changes = (
+        {"action": "add_column", "name": "quality", "type": "double"},
+        {"action": "rename_column", "name": "source", "new_name": "origin"},
+        {"action": "widen_type", "name": "n_tok", "type": "bigint"},
+    )
+    cfg = EventGenConfig(
+        n_events=3000, n_docs=150, seed=5,
+        schema_change_lsns=(500, 1500, 2500), schema_changes=changes,
+    )
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    engine.apply_batch(events_df(spark, events), batch_id=0)
+    oracle = replay(events)
+    # schema evolved: renamed + added + widened, ingestion unbroken
+    names = engine.table.schema().names()
+    assert "origin" in names and "quality" in names and "source" not in names
+    assert dict(engine.state().dtypes)["n_tok"] == "bigint"
+    # state equality modulo the renamed column
+    spark_state = {
+        r["doc_id"]: (list(r["tokens"]), int(r["n_tok"]), r["origin"], r["last_lsn"])
+        for r in engine.state().collect()
+    }
+    oracle_state = {
+        k: (list(v["tokens"]), v["n_tok"], v["source"], v["last_lsn"])
+        for k, v in oracle.live_docs().items()
+    }
+    assert spark_state == oracle_state
+    assert len(engine.table.snapshot()["schema_log"]) == 3
+
+
+def test_hot_key_salted_path_equals_unsalted(spark, tmp_path):
+    """90%-one-key batch (SURVEY.md §7.2 step 6): forced salting must give
+    the same final state as the plain path."""
+    cfg = EventGenConfig(n_events=2000, n_docs=5, seed=13, zipf_a=1.05)
+    events = generate_events(cfg)
+    hot = make_engine(spark, tmp_path, salt_threshold=10)  # force salting
+    cold_dir = tmp_path / "cold"
+    cold = CdcEngine(spark, str(cold_dir), salt_threshold=10**9)
+    cold.init()
+    mh = hot.apply_batch(events_df(spark, events), batch_id=0)
+    mc = cold.apply_batch(events_df(spark, events), batch_id=0)
+    assert mh.salted and not mc.salted
+    oracle = replay(events)
+    assert_state_matches(hot, oracle)
+    assert_state_matches(cold, oracle)
+
+
+def test_lww_variants_agree(spark):
+    cfg = EventGenConfig(n_events=5000, n_docs=50, seed=17, zipf_a=1.1)
+    df = events_df(spark, generate_events(cfg)).filter("op != 'schema_change'")
+    cols = ["doc_id", "lsn", "op", "n_tok"]
+    a = {tuple(r) for r in lww_maxby(df.select(*cols)).collect()}
+    b = {tuple(r) for r in lww_maxby_salted(df.select(*cols), salt_buckets=8).collect()}
+    c = {tuple(r) for r in lww_window(df.select(*cols)).collect()}
+    d = {tuple(r) for r in lww_window(df.select(*cols), salt_buckets=8).collect()}
+    assert a == b == c == d
+
+
+def test_manifest_lineage(spark, tmp_path):
+    cfg = EventGenConfig(n_events=1000, n_docs=100, seed=23)
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    m = engine.apply_batch(events_df(spark, events), batch_id=0)
+    manifests = engine.manifest()
+    assert len(manifests) == 1
+    j = manifests[0]
+    assert j["batch_id"] == 0
+    assert j["rows_in"] == 1000
+    assert j["lsn_min"] == 1 and j["lsn_max"] == 1000
+    assert sum(p["rows"] for p in j["partitions"]) == 1000
+    assert j["rows_quarantined"] == len(replay(events).quarantine)
+    assert j["max_key_rows"] >= 1

@@ -1,0 +1,117 @@
+"""LakeTable: atomic snapshots, bucket-pruned merge, metadata-only schema
+evolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_standardization_etl_spark.lake.table import CommitConflict, LakeTable
+
+COLS = [("doc_id", "string"), ("v", "int"), ("last_lsn", "bigint"), ("deleted", "boolean")]
+
+
+def make(spark, path, n_buckets=4):
+    return LakeTable.create(spark, path, COLS, key_column="doc_id", n_buckets=n_buckets)
+
+
+def seed(spark, t, rows):
+    df = spark.createDataFrame(rows, "doc_id string, v int, last_lsn long, deleted boolean")
+    t.overwrite(df)
+
+
+def test_create_read_empty(spark, tmp_table_dir):
+    t = make(spark, tmp_table_dir)
+    assert t.current_version() == 0
+    assert t.read().count() == 0
+    assert t.schema().names() == ["doc_id", "v", "last_lsn", "deleted"]
+
+
+def test_overwrite_and_read(spark, tmp_table_dir):
+    t = make(spark, tmp_table_dir)
+    seed(spark, t, [(f"d{i}", i, 1, False) for i in range(100)])
+    assert t.current_version() == 1
+    got = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert got == {f"d{i}": i for i in range(100)}
+
+
+def test_merge_updates_only_affected_buckets(spark, tmp_table_dir):
+    t = make(spark, tmp_table_dir, n_buckets=8)
+    seed(spark, t, [(f"d{i}", i, 1, False) for i in range(200)])
+    files_before = dict(t.snapshot()["files"])
+    delta = spark.createDataFrame([("d5", 999, 2)], "doc_id string, v int, lsn long")
+
+    def resolve(old, new):
+        take = new["lsn"].isNotNull() & (old["last_lsn"].isNull() | (new["lsn"] > old["last_lsn"]))
+        return {
+            "doc_id": F.coalesce(old["doc_id"], new["doc_id"]),
+            "v": F.when(take, new["v"]).otherwise(old["v"]),
+            "last_lsn": F.when(take, new["lsn"]).otherwise(old["last_lsn"]),
+            "deleted": F.coalesce(old["deleted"], F.lit(False)),
+        }
+
+    t.merge(delta, resolve)
+    files_after = t.snapshot()["files"]
+    changed = [b for b in files_after if files_after[b] != files_before.get(b)]
+    assert len(changed) == 1  # only d5's bucket rewritten
+    got = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert got["d5"] == 999 and got["d6"] == 6 and len(got) == 200
+
+
+def test_snapshot_isolation_and_conflict(spark, tmp_table_dir):
+    t = make(spark, tmp_table_dir)
+    seed(spark, t, [("a", 1, 1, False)])
+    snap = t.snapshot()
+    t2 = LakeTable(spark, tmp_table_dir)
+    seed(spark, t2, [("a", 2, 2, False)])  # concurrent writer commits v2
+    with pytest.raises(CommitConflict):
+        t._commit(snap, snap["version"])  # stale expected version
+
+
+def test_schema_evolution_metadata_only(spark, tmp_table_dir):
+    t = make(spark, tmp_table_dir)
+    seed(spark, t, [(f"d{i}", i, 1, False) for i in range(10)])
+    files_v1 = dict(t.snapshot()["files"])
+
+    t.apply_schema_change({"action": "add_column", "name": "extra", "type": "string"}, lsn=100)
+    t.apply_schema_change({"action": "rename_column", "name": "v", "new_name": "value"}, lsn=101)
+    t.apply_schema_change({"action": "widen_type", "name": "value", "type": "bigint"}, lsn=102)
+
+    # zero data rewrite
+    assert t.snapshot()["files"] == files_v1
+    df = t.read()
+    assert dict(df.dtypes)["value"] == "bigint"
+    assert dict(df.dtypes)["extra"] == "string"
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["d3"]["value"] == 3 and rows["d3"]["extra"] is None
+
+    # illegal operations
+    with pytest.raises(ValueError):
+        t.apply_schema_change({"action": "widen_type", "name": "doc_id", "type": "int"})
+    with pytest.raises(ValueError):
+        t.apply_schema_change({"action": "rename_column", "name": "nope", "new_name": "x"})
+
+
+def test_mixed_schema_versions_union(spark, tmp_table_dir):
+    """Files written before and after a rename+widen must reconcile by id."""
+    t = make(spark, tmp_table_dir, n_buckets=2)
+    seed(spark, t, [("old1", 1, 1, False), ("old2", 2, 1, False)])
+    t.apply_schema_change({"action": "rename_column", "name": "v", "new_name": "value"})
+    t.apply_schema_change({"action": "widen_type", "name": "value", "type": "bigint"})
+
+    delta = spark.createDataFrame(
+        [("new1", 10_000_000_000, 2)], "doc_id string, value long, lsn long"
+    )
+
+    def resolve(old, new):
+        take = new["lsn"].isNotNull() & (old["last_lsn"].isNull() | (new["lsn"] > old["last_lsn"]))
+        return {
+            "doc_id": F.coalesce(old["doc_id"], new["doc_id"]),
+            "value": F.when(take, new["value"]).otherwise(old["value"]),
+            "last_lsn": F.coalesce(new["lsn"], old["last_lsn"]),
+            "deleted": F.coalesce(old["deleted"], F.lit(False)),
+        }
+
+    t.merge(delta, resolve)
+    got = {r["doc_id"]: r["value"] for r in t.read().collect()}
+    assert got == {"old1": 1, "old2": 2, "new1": 10_000_000_000}

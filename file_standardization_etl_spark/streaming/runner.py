@@ -1,0 +1,88 @@
+"""Streaming runner — ``readStream`` over the WAL directory → ``foreachBatch``.
+
+The reference emulated a stream with a batch poller: each run selected
+``is_processed = 0`` rows, processed them, and flipped the flag
+(``/root/reference/config/queries.py:34``,
+``src/database/operations.py:95-108``). Here that loop is the real thing:
+
+- the change log is an append-only directory of parquet files (a binlog
+  segment per file); Spark's file-stream source handles discovery,
+  ordering, and offset tracking in its checkpoint (replaces the
+  reference's S3 ``fs.glob`` polling, ``src/utils/s3_utils.py:68-85``);
+- ``foreachBatch`` = one "job run" of the reference; inside it,
+  :meth:`CdcEngine.apply_batch` is idempotent (LSN watermark + per-doc
+  guard), so the at-least-once delivery of a restarted query becomes
+  exactly-once end-to-end;
+- ``Trigger.AvailableNow`` drains everything currently in the log and
+  stops — the replay mode used by the benchmark; ``processingTime``
+  triggers give continuous tailing.
+
+Two independent recovery layers (both tested): Spark's own streaming
+checkpoint (source offsets) and the engine's manifest/watermark. Either
+alone suffices to avoid duplicate application; together a lost checkpoint
+directory still cannot double-apply.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..cdc.apply import CdcEngine
+from ..cdc.events import EVENT_SCHEMA
+
+
+class StreamingCdcRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        engine: CdcEngine,
+        checkpoint_dir: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.log_dir = os.path.abspath(log_dir)
+        self.engine = engine
+        self.checkpoint_dir = checkpoint_dir or os.path.join(
+            engine.table_path, "_stream_checkpoint"
+        )
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batches_seen: list[int] = []
+
+    def _reader(self):
+        r = self.spark.readStream.schema(EVENT_SCHEMA)
+        if self.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        # latestFirst stays False: WAL segments must apply in order
+        return r.parquet(self.log_dir)
+
+    def _foreach_batch(self, df, batch_id: int) -> None:
+        self.batches_seen.append(batch_id)
+        self.engine.apply_batch(df, batch_id=batch_id)
+
+    def run_available_now(self, timeout_sec: int = 600) -> None:
+        """Drain the current log contents exactly once and stop."""
+        q = (
+            self._reader()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+
+    def start_continuous(self, processing_time: str = "5 seconds"):
+        """Continuous tailing; returns the StreamingQuery (caller manages)."""
+        return (
+            self._reader()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )

@@ -1,0 +1,141 @@
+"""Document deduplication operators, all pure Catalyst column expressions
+(no Python on the hot path) and all portable to the DuckDB oracle.
+
+Portability trick used throughout: MinHash/SimHash need a keyed uniform
+hash with a total order. ``md5(salt || value)`` hex strings compared
+lexicographically are exactly that and exist identically in Spark and
+DuckDB — so signatures computed by both engines match byte-for-byte
+(xxhash64 would be Spark-only).
+
+Scale notes per operator:
+
+- exact: one hash-groupBy — map-side combine, no skew concern.
+- MinHash-LSH: per-doc signature is embarrassingly parallel; the
+  candidate join shuffles only (band, signature) pairs — O(docs × bands)
+  narrow rows, not O(docs²). Band count / shingle width tune
+  recall/precision like any LSH.
+- SimHash: per-doc only; pairing joins on the 16-bit bucket.
+- n-gram Jaccard: exact verify restricted to LSH candidates — never
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORDS = "split(text, ' ')"
+
+
+def with_words(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("w", F.expr(WORDS))
+
+
+def exact_dup_groups(docs: DataFrame, key_words: int = 5) -> DataFrame:
+    """Exact dedup via content-hash groupBy (first-k-words fingerprint so
+    near-identical prefixes group; k=full length → strict exact dedup)."""
+    key = F.md5(F.array_join(F.slice(F.expr(WORDS), 1, key_words), " "))
+    return (
+        docs.select(key.alias("dup_key"), "doc_id")
+        .groupBy("dup_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_expr(n: int = 3) -> str:
+    """k-word shingles as a SQL expression over column ``w`` (1-based
+    element_at — portable to DuckDB's 1-based lists)."""
+    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+    return f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
+
+
+def minhash_band_signatures(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, band, sig): per-band MinHash signature = lexicographic min
+    of md5(band || shingle)."""
+    d = with_words(docs).withColumn("sh", F.expr(shingles_expr(shingle_n)))
+    bands = F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band")
+    d = d.select("doc_id", "sh", bands)
+    sig = F.array_min(
+        F.transform("sh", lambda s: F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), s)))
+    )
+    return d.select("doc_id", "band", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band signature."""
+    sigs = minhash_band_signatures(docs, n_bands, shingle_n)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4, **lsh_kw) -> DataFrame:
+    """Exact word-set Jaccard, verified only on LSH candidates.
+
+    Jaccard = |∩| / |∪| of two exact integer set sizes — one IEEE
+    division, bit-portable.
+    """
+    cands = minhash_lsh_candidates(docs, **lsh_kw)
+    w = with_words(docs).select("doc_id", F.array_distinct("w").alias("ws"))
+    j = (
+        cands.join(w.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ws", "wa"), "doc_a")
+        .join(w.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ws", "wb"), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("wa", "wb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.size("wa") + F.size("wb") - F.col("n_inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from word-level hashes.
+
+    Bit b's contribution per word = parity of the first hex digit of
+    md5(word ':' b) (instr into the hex alphabet — portable); bit set
+    when positive contributions outnumber negative ones.
+    """
+    d = with_words(docs)
+    bit_terms = []
+    for b in range(16):
+        # (#words with odd first-hex-digit parity) > n/2  ⇔  sum(±1) > 0
+        cnt = (
+            "size(filter(w, x -> "
+            f"(instr('0123456789abcdef', substr(md5(concat(x, ':', '{b}')), 1, 1)) - 1) % 2 = 1))"
+        )
+        bit_terms.append(f"(CASE WHEN 2 * ({cnt}) > size(w) THEN {1 << b} ELSE 0 END)")
+    return d.select("doc_id", F.expr(" + ".join(bit_terms)).cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (bucketed self-join on
+    the high byte keeps the pair space bounded at scale)."""
+    s = simhash16(docs).withColumn("bucket", (F.col("simhash") / 256).cast("int"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )

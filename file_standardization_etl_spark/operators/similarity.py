@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Numeric portability: embeddings are quantized to integer grids
+(``floor(x*scale + 0.5)``) so dot products and norms are exact integers —
+magnitudes stay < 2^53, so even double-typed arithmetic is exact, and
+Spark and the DuckDB oracle agree bitwise. The final cosine is a single
+IEEE division/sqrt of exact integers → deterministic.
+
+Scale notes:
+
+- brute-force top-k: queries × corpus via broadcast of the (small) query
+  set — the corpus is scanned once, never shuffled; per-partition local
+  top-k would bolt on via window over qid (AQE coalesces the tiny
+  result).
+- LSH-bucketed: coordinate-sign buckets (axis-parallel hyperplanes) cut
+  the pair space; candidates verified exactly. At 100 TB you'd raise the
+  bit count and add multi-probe, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantized(col, scale: int = 100):
+    return F.transform(col, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+
+
+def dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def with_quantized(emb: DataFrame, scale: int = 100) -> DataFrame:
+    q = quantized(F.col("embedding"), scale)
+    return emb.select("vec_id", q.alias("q")).withColumn("norm2", dot_expr(F.col("q"), F.col("q")))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, scale: int = 100
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Score = dot/sqrt(n1*n2) over
+    exact integers — bit-deterministic."""
+    base = with_quantized(emb, scale)
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm2").alias("qn")
+    )
+    corpus = base.filter(~F.col("vec_id").isin(query_ids))
+    scored = corpus.join(F.broadcast(queries)).withColumn(
+        "score",
+        dot_expr(F.col("q"), F.col("qq"))
+        / F.sqrt((F.col("norm2") * F.col("qn")).cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "score")
+    )
+
+
+def sign_bucket(col, dims: list[int]):
+    """Axis-parallel LSH bucket: concatenated sign bits of chosen coords
+    (1-based element_at — portable)."""
+    bits = [
+        F.when(F.element_at(col, d) > 0, F.lit("1")).otherwise(F.lit("0")) for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_pairs(
+    emb: DataFrame,
+    dims: list[int] | None = None,
+    min_cosine: float = 0.2,
+    scale: int = 100,
+) -> DataFrame:
+    """ANN candidate pairs: same sign-bucket, verified by exact quantized
+    cosine. The threshold test runs fully in integer arithmetic:
+    score >= t  ⇔  dot > 0 ∧ dot²·10⁴ ≥ t²·10⁴·n1·n2."""
+    dims = dims or [1, 9, 17, 25, 33]
+    base = with_quantized(emb, scale).withColumn(
+        "bucket", sign_bucket(F.col("q"), dims)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    t2_e4 = int(round(min_cosine * min_cosine * 10_000))
+    dot = dot_expr(F.col("a.q"), F.col("b.q"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(10_000)
+                >= F.lit(t2_e4) * F.col("a.norm2") * F.col("b.norm2")
+            )
+        )
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (F.col("dot") / F.sqrt((F.col("a.norm2") * F.col("b.norm2")).cast("double"))).alias(
+            "score"
+        ),
+    )

@@ -1,0 +1,99 @@
+"""Extended-operator unit tests at sf0.001 (full cross-engine equality is
+covered by tools/check_oracle.py at sf0.01; these pin semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_standardization_etl_spark.operators import (
+    dedup_text,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dup_groups_are_real_groups(spark, docs):
+    groups = dedup_text.exact_dup_groups(docs, key_words=3).collect()
+    for g in groups:
+        assert g["n_docs"] > 1
+        assert g["keeper_doc"] is not None
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, docs):
+    """LSH recall: every pair with very high word-set Jaccard must be a
+    candidate (4 bands of 3-shingles catches near-identical docs)."""
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_text.minhash_lsh_candidates(docs).collect()
+    }
+    verified = dedup_text.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    for r in verified:
+        assert (r["doc_a"], r["doc_b"]) in cands
+        assert 0.8 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_identical_docs_equal_hash(spark, docs):
+    one = docs.limit(1)
+    doubled = one.unionByName(one.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    hashes = [r["simhash"] for r in dedup_text.simhash16(doubled).collect()]
+    assert len(hashes) == 2 and hashes[0] == hashes[1]
+    assert all(0 <= h < 2**16 for h in hashes)
+
+
+def test_brute_force_topk_shape_and_order(spark, emb):
+    out = similarity.brute_force_topk(emb, [0, 1], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.001 <= s <= 1.001 for s in scores)
+        assert all(r["neighbor_id"] not in (0, 1) for r in rows)
+
+
+def test_lsh_pairs_subset_of_bruteforce_threshold(spark, emb):
+    """Every LSH-bucketed pair must genuinely clear the cosine threshold."""
+    pairs = similarity.lsh_bucketed_pairs(emb, min_cosine=0.2).collect()
+    assert all(r["score"] >= 0.199 for r in pairs)
+
+
+def test_textstats_invariants(spark, docs):
+    q = textstats.quality_stats(docs).collect()
+    for r in q:
+        assert r["n_distinct"] <= r["n_words"]
+        assert 0 < r["ttr"] <= 1.0
+        assert 0 <= r["stopword_ratio"] <= 1.0
+    t = textstats.token_counts(docs).collect()
+    for r in t:
+        assert r["regex_tokens"] >= 1 and r["ws_tokens"] >= 1
+
+
+def test_multimodal_decode_stub_plumbing(spark, docs):
+    media = multimodal.synth_media_from_documents(docs)
+    meta = multimodal.decode_media(media)
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["byte_len"] > 0 and len(r["content_hash"]) == 32
+        if r["media_type"] == "image":
+            assert r["n_frames"] == 1 and r["width"] >= 64
+    frames = multimodal.frame_sample(meta, every_n=10)
+    fcount = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in fcount)

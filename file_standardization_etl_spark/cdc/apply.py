@@ -33,14 +33,15 @@ from __future__ import annotations
 
 import json
 import os
+import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.validation import split_valid_quarantine
+from ..functions.validation import split_with_reason
 from ..lake.table import LakeTable
-from .dedup import lww_maxby, lww_maxby_salted
 from .events import EVENT_SCHEMA, SOURCE_WHITELIST
 
 # stable column ids in the target table (order passed to LakeTable.create)
@@ -87,7 +88,7 @@ class CdcEngine:
         spark: SparkSession,
         table_path: str,
         whitelist: list[str] | None = None,
-        use_pandas_udf_validation: bool = True,
+        validation_mode: str = "hybrid",  # hybrid | slim | arrow | pandas | expr
         salt_threshold: int = 100_000,
         salt_buckets: int = 32,
         n_buckets: int = 16,
@@ -97,7 +98,8 @@ class CdcEngine:
         self.quarantine_path = os.path.join(self.table_path, "quarantine")
         self.manifest_dir = os.path.join(self.table_path, "_manifest")
         self.whitelist = list(whitelist or SOURCE_WHITELIST)
-        self.use_pandas_udf_validation = use_pandas_udf_validation
+        self.validation_mode = validation_mode
+        # chunks with more rows than this use the two-phase salted LWW
         self.salt_threshold = salt_threshold
         self.salt_buckets = salt_buckets
         self.n_buckets = n_buckets
@@ -155,7 +157,9 @@ class CdcEngine:
 
     # ---------- the merge resolution ----------
 
-    def _merge_chunk(self, delta: DataFrame, delta_rows: int, watermark: int) -> None:
+    def _merge_chunk(
+        self, delta: DataFrame, delta_rows: int, watermark: int, batch_id: int
+    ) -> None:
         n = self._names()
         key = n[FID_DOC]
 
@@ -189,7 +193,7 @@ class CdcEngine:
         self.table.merge(
             delta,
             resolve,
-            properties_update={"max_applied_lsn": watermark},
+            properties_update={"max_applied_lsn": watermark, "last_batch_id": batch_id},
             delta_rows=delta_rows,
         )
 
@@ -236,11 +240,26 @@ class CdcEngine:
                 chunk = chunk.filter(F.col("lsn") > F.lit(lo))
             if hi is not None:
                 chunk = chunk.filter(F.col("lsn") < F.lit(hi))
-            chunk = chunk.persist()
-            try:
-                # one aggregation pass: per-partition lineage + global span
-                part_rows = (
-                    chunk.groupBy(F.spark_partition_id().alias("partition_id"))
+            # Pass structure (nothing cached, no full-batch rewrite — both
+            # measured to cap scaling on shared disk):
+            #   P0 lineage: per-partition rows + LSN span over the raw
+            #      chunk — narrow columnar scan, NO validation needed.
+            #   P1 quarantine: validation reason (vectorized UDF) → write
+            #      only the invalid slice (idempotent per batch/chunk dir).
+            #   P2 LWW: validation reason again (second and last UDF eval)
+            #      → max_by dedup; per-key counts ride along.
+            _t = time.time()
+            _timing = os.environ.get("SPARK_CDC_TIMING") == "1"
+
+            def _mark(label):
+                nonlocal _t
+                if _timing:
+                    print(f"[cdc-timing] {label}: {time.time() - _t:.2f}s", flush=True)
+                _t = time.time()
+
+            if True:
+                cells = (
+                    chunk.groupBy(F.spark_partition_id().alias("pid"))
                     .agg(
                         F.count(F.lit(1)).alias("rows"),
                         F.min("lsn").alias("lsn_min"),
@@ -248,13 +267,15 @@ class CdcEngine:
                     )
                     .collect()
                 )
-                rows_in = sum(r["rows"] for r in part_rows)
+                rows_in = sum(r["rows"] for r in cells)
+                _mark("lineage")
                 totals["rows_in"] += rows_in
-                for r in part_rows:
+                chunk_lsn_max = None
+                for r in cells:
                     partitions.append(
                         {
                             "chunk": ci,
-                            "partition_id": r["partition_id"],
+                            "partition_id": r["pid"],
                             "rows": r["rows"],
                             "lsn_min": r["lsn_min"],
                             "lsn_max": r["lsn_max"],
@@ -262,16 +283,85 @@ class CdcEngine:
                     )
                     lsn_min = r["lsn_min"] if lsn_min is None else min(lsn_min, r["lsn_min"])
                     lsn_max = r["lsn_max"] if lsn_max is None else max(lsn_max, r["lsn_max"])
+                    chunk_lsn_max = (
+                        r["lsn_max"] if chunk_lsn_max is None else max(chunk_lsn_max, r["lsn_max"])
+                    )
 
                 if rows_in > 0:
-                    valid, quar = split_valid_quarantine(
-                        chunk, self.whitelist, use_pandas_udf=self.use_pandas_udf_validation
+                    valid, quar = split_with_reason(
+                        chunk, self.whitelist, mode=self.validation_mode
                     )
-                    # idempotent quarantine write: fixed dir per (batch, chunk)
+                    # idempotent quarantine write: fixed dir per (batch,
+                    # chunk). Submitted from a separate thread so the
+                    # (partially disk-bound) write overlaps the CPU-bound
+                    # LWW + merge jobs — Spark schedules jobs from
+                    # different threads concurrently. Joined before the
+                    # manifest needs its counts.
                     qdir = os.path.join(
                         self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
                     )
-                    quar.drop("schema_change").write.mode("overwrite").parquet(qdir)
+
+                    def _write_quarantine(quar=quar, qdir=qdir):
+                        quar.drop("schema_change").write.mode("overwrite").parquet(qdir)
+
+                    q_future = ThreadPoolExecutor(max_workers=1).submit(_write_quarantine)
+                    _mark("quarantine_submit")
+
+                    # LWW scale path: narrow (key -> max lsn, cnt)
+                    # aggregation — token arrays never enter an agg buffer —
+                    # then a broadcast semi-join fetches the winning payload
+                    # rows (rationale in dedup.lww_narrow_semi; the
+                    # struct-max_by variants measured only ~1.8x scaling
+                    # 4->16 cores from allocator churn).
+                    dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
+                    slim = valid.select(*dedup_cols)
+                    if rows_in >= self.salt_threshold:
+                        salted_any = True
+                        salted = slim.withColumn(
+                            "__salt",
+                            F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)),
+                        )
+                        partial = salted.groupBy("doc_id", "__salt").agg(
+                            F.max("lsn").alias("lsn"), F.count(F.lit(1)).alias("__cnt")
+                        )
+                        winners = partial.groupBy("doc_id").agg(
+                            F.max("lsn").alias("lsn"), F.sum("__cnt").alias("cnt")
+                        )
+                    else:
+                        winners = slim.groupBy("doc_id").agg(
+                            F.max("lsn").alias("lsn"), F.count(F.lit(1)).alias("cnt")
+                        )
+                    winners = winners.persist()
+                    w = winners.agg(
+                        F.count(F.lit(1)).alias("n"), F.max("cnt").alias("mx")
+                    ).collect()[0]
+                    n_delta = w["n"]
+                    totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
+                    totals["rows_valid"] += n_delta
+                    totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
+
+                    keys = winners.select("doc_id", "lsn")
+                    if n_delta <= 4_000_000:
+                        keys = F.broadcast(keys)
+                    delta = slim.join(keys, on=["doc_id", "lsn"], how="left_semi").persist()
+                    ops = delta.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
+                    for r in ops:
+                        if r["op"] == "delete":
+                            totals["rows_deletes"] += r["n"]
+                        else:
+                            totals["rows_upserts"] += r["n"]
+                    _mark("lww_and_stats")
+
+                    # even an all-quarantined chunk advances the watermark
+                    # (merge with an empty delta commits properties only)
+                    watermark = max(applied, chunk_lsn_max or applied)
+                    self._merge_chunk(delta, n_delta, watermark, batch_id)
+                    _mark("merge")
+                    applied = watermark
+                    delta.unpersist()
+                    winners.unpersist()
+
+                    q_future.result()  # quarantine write finished in parallel
                     qcounts = (
                         self.spark.read.parquet(qdir)
                         .groupBy("reason")
@@ -281,43 +371,7 @@ class CdcEngine:
                     for r in qcounts:
                         by_reason[r["reason"]] = by_reason.get(r["reason"], 0) + r["n"]
                         totals["rows_quarantined"] += r["n"]
-
-                    valid = valid.persist()
-                    skew = (
-                        valid.groupBy("doc_id")
-                        .agg(F.count(F.lit(1)).alias("rows"))
-                        .agg(
-                            F.max("rows").alias("max_key_rows"),
-                            F.count(F.lit(1)).alias("distinct_keys"),
-                        )
-                        .collect()
-                    )
-                    max_key = skew[0]["max_key_rows"] or 0
-                    totals["max_key_rows"] = max(totals["max_key_rows"], max_key)
-                    totals["distinct_keys"] = max(totals["distinct_keys"], skew[0]["distinct_keys"] or 0)
-
-                    dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
-                    slim = valid.select(*dedup_cols)
-                    if max_key >= self.salt_threshold:
-                        delta = lww_maxby_salted(slim, salt_buckets=self.salt_buckets)
-                        salted_any = True
-                    else:
-                        delta = lww_maxby(slim)
-                    delta = delta.persist()
-                    n_delta = delta.count()
-                    ops = delta.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
-                    for r in ops:
-                        if r["op"] == "delete":
-                            totals["rows_deletes"] += r["n"]
-                        else:
-                            totals["rows_upserts"] += r["n"]
-                    totals["rows_valid"] += n_delta
-
-                    watermark = max(applied, lsn_max or applied)
-                    self._merge_chunk(delta, n_delta, watermark)
-                    applied = watermark
-                    delta.unpersist()
-                    valid.unpersist()
+                    _mark("quarantine_join")
 
                 if change is not None:
                     self.table.apply_schema_change(change, lsn=hi)
@@ -325,9 +379,9 @@ class CdcEngine:
                     # DDL advances the watermark too (oracle parity)
                     snap = self.table.snapshot()
                     snap["properties"]["max_applied_lsn"] = applied
+                    snap["properties"]["last_batch_id"] = batch_id
                     self.table._commit(snap, snap["version"])
-            finally:
-                chunk.unpersist()
+
 
         metrics = BatchMetrics(
             batch_id=batch_id,
@@ -348,11 +402,14 @@ class CdcEngine:
             table_version=self.table.current_version(),
         )
         self._write_manifest(metrics)
-        # record batch id
+        # merges/DDL already persisted properties; commit once more only if
+        # this batch changed nothing else (e.g. fully-filtered replay)
         snap = self.table.snapshot()
-        snap["properties"]["last_batch_id"] = batch_id
-        snap["properties"]["max_applied_lsn"] = applied
-        self.table._commit(snap, snap["version"])
+        props = snap["properties"]
+        if props.get("last_batch_id") != batch_id or props.get("max_applied_lsn", 0) < applied:
+            props["last_batch_id"] = batch_id
+            props["max_applied_lsn"] = max(applied, props.get("max_applied_lsn", 0))
+            self.table._commit(snap, snap["version"])
         return metrics
 
     def _write_manifest(self, m: BatchMetrics) -> None:

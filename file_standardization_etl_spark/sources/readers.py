@@ -1,0 +1,152 @@
+"""Readers/writers for the reference's source formats (SURVEY.md §2.1).
+
+| ref | this module | notes |
+|-----|-------------|-------|
+| S1 Excel scan (`src/etl/extractors.py:22-46`) | :func:`read_excel` | no JVM excel reader; pandas bridge behind import-try (openpyxl absent in sandbox → clear error) |
+| S2 CSV scan (`src/etl/extractors.py:48-69`) | :func:`read_csv` | native `spark.read.csv`, explicit schema (no inferSchema in prod) |
+| S3 Parquet (`src/utils/s3_utils.py:41-44`) | :func:`read_parquet` | native |
+| S9 fixed-width parse (`repomix-output.xml:8377-8411`) | :func:`read_fixed_width` | `spark.read.text` + per-colspec substring — pure column exprs, no UDF |
+| S10 file discovery (`src/utils/s3_utils.py:68-85`) | :func:`list_files` | driver-side listing; streaming discovery is the file-stream source |
+| S4/S5 JDBC (`src/database/connection.py:47-93`) | :func:`read_jdbc` / :func:`write_jdbc` | thin wrappers; untested here (no DB in sandbox) |
+
+JSON-lines is included for completeness (modern log pipelines).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    r = spark.read.options(header=str(header).lower(), **{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")  # tests/ad-hoc only
+    return r.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_excel(spark: SparkSession, path: str, sheet_name=0, **kwargs) -> DataFrame:
+    """Excel bridge (S1). Spark has no native xlsx reader; the reference
+    read sheets into pandas on the driver (`header=None, dtype=str`,
+    `src/etl/extractors.py:22-46`) — we do the same but only as an edge
+    ingest step, converting immediately to a distributed DataFrame."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name, header=None, dtype=str, **kwargs)
+    except ImportError as e:  # openpyxl/xlrd not in this environment
+        raise NotImplementedError(
+            "Excel ingest needs pandas+openpyxl on the edge node; not available here"
+        ) from e
+    pdf.columns = [f"c{i}" for i in range(len(pdf.columns))]
+    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, colspecs: list[tuple[str, int, int, str]]
+) -> DataFrame:
+    """Fixed-width text reader (S9): colspecs = [(name, start_1based, length,
+    type_ddl)]. Substring extraction per column — whole-stage codegen, no
+    UDF (the reference used a 21-group regex in driver pandas)."""
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, length, ddl in colspecs:
+        c = F.trim(F.substring(F.col("value"), start, length))
+        if ddl != "string":
+            c = c.cast(ddl)
+        cols.append(c.alias(name))
+    return lines.select(*cols)
+
+
+def write_fixed_width(df: DataFrame, colspecs: list[tuple[str, int, int, str]]) -> DataFrame:
+    """Inverse of read_fixed_width: produce a single `value` column with
+    each field padded into its byte range (numeric left-zero-padded,
+    strings right-space-padded)."""
+    parts = []
+    for name, _start, length, ddl in colspecs:
+        if ddl == "string":
+            parts.append(F.rpad(F.coalesce(F.col(name), F.lit("")), length, " "))
+        else:
+            parts.append(F.lpad(F.col(name).cast("string"), length, "0"))
+    return df.select(F.concat(*parts).alias("value"))
+
+
+def list_files(spark: SparkSession, pattern: str) -> list[str]:
+    """Driver-side glob (S10). Batch jobs only — streaming jobs must use
+    the file-stream source, which tracks discovery in the checkpoint."""
+    return sorted(_glob.glob(pattern))
+
+
+def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
+    """S4: whole-query pushdown to an RDBMS (the reference's main source,
+    `src/database/connection.py:47-68`)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+        .options(**options)
+        .load()
+    )
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """S5/S6: JDBC sink. In the CDC engine the lake MERGE replaces this;
+    kept for parity with the reference's Postgres sink."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).mode(mode).save()
+
+
+def write_wal_segment(df: DataFrame, log_dir: str, coalesce: int | None = None) -> None:
+    """Append one WAL segment (a set of parquet files) to the change-log
+    directory consumed by the streaming runner."""
+    w = df.coalesce(coalesce) if coalesce else df
+    w.write.mode("append").parquet(log_dir)
+
+
+def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame:
+    """Bridge the shared `documents` fixture into the change-event shape
+    (FIXTURES.md §6): deterministic md5-based tokenization of `text`, doc_id
+    cast to string, source passed through."""
+    words = F.split("text", " ")
+    tokens = F.transform(
+        words,
+        lambda w: (
+            F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50_257
+        ).cast("int"),
+    )
+    return docs.select(
+        (F.lit(lsn_start) + F.row_number().over(Window.orderBy("doc_id")) - 1).alias("lsn"),
+        F.lit("insert").alias("op"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        F.col("source").alias("source"),
+        F.lit(None).cast("string").alias("schema_change"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

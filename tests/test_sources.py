@@ -1,0 +1,54 @@
+"""Source readers: CSV/JSONL schema'd reads, fixed-width round-trip,
+documents→change-event bridge."""
+
+from __future__ import annotations
+
+from file_standardization_etl_spark.cdc.oracle import validation_reason
+from file_standardization_etl_spark.sources import readers
+
+COLSPECS = [
+    ("rec_key", 1, 10, "bigint"),
+    ("status", 11, 2, "string"),
+    ("total", 13, 12, "bigint"),
+]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "c")
+    df.write.option("header", "true").csv(path)
+    back = readers.read_csv(spark, path, schema="id long, name string")
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1, 2]), (2, [3])], "id long, xs array<int>")
+    path = str(tmp_path / "j")
+    df.write.json(path)
+    back = readers.read_jsonl(spark, path, schema="id long, xs array<int>")
+    assert {(r["id"], tuple(r["xs"])) for r in back.collect()} == {(1, (1, 2)), (2, (3,))}
+
+
+def test_fixed_width_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(42, "F", 123), (7, "O", 9)], "rec_key long, status string, total long")
+    lines = readers.write_fixed_width(df, COLSPECS)
+    path = str(tmp_path / "fw")
+    lines.write.text(path)
+    back = readers.read_fixed_width(spark, path, COLSPECS)
+    assert {tuple(r) for r in back.collect()} == {(42, "F", 123), (7, "O", 9)}
+
+
+def test_documents_bridge_valid_events(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = readers.documents_as_change_events(docs)
+    rows = [r.asDict() for r in ev.collect()]
+    assert len(rows) == docs.count()
+    lsns = sorted(r["lsn"] for r in rows)
+    assert lsns == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["n_tok"] == len(r["tokens"])
+        assert all(0 <= t < 50_257 for t in r["tokens"])
+    # events validate as n_tok-consistent (source domain differs from the
+    # CDC whitelist fixture, by design)
+    for r in rows[:50]:
+        assert validation_reason(r) in (None, "bad_source")

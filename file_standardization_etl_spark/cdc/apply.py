@@ -40,9 +40,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from ..functions.validation import split_with_reason
-from ..lake.table import LakeTable
+from ..lake.table import LakeTable, bucket_expr
 from .events import EVENT_SCHEMA, SOURCE_WHITELIST
+
+QUARANTINE_REASONS = ["null_tokens", "empty_tokens", "bad_n_tok", "bad_source"]
 
 # stable column ids in the target table (order passed to LakeTable.create)
 FID_DOC, FID_TOKENS, FID_NTOK, FID_SOURCE, FID_LSN, FID_DELETED = 1, 2, 3, 4, 5, 6
@@ -104,6 +108,9 @@ class CdcEngine:
         self.salt_buckets = salt_buckets
         self.n_buckets = n_buckets
         self.table = LakeTable(spark, os.path.join(self.table_path, "target"))
+        # one pool per engine: quarantine writes + lineage scans run as
+        # concurrent Spark jobs overlapping the LWW/merge critical path
+        self._pool = ThreadPoolExecutor(max_workers=4)
 
     # ---------- lifecycle ----------
 
@@ -158,7 +165,12 @@ class CdcEngine:
     # ---------- the merge resolution ----------
 
     def _merge_chunk(
-        self, delta: DataFrame, delta_rows: int, watermark: int, batch_id: int
+        self,
+        delta: DataFrame,
+        delta_rows: int,
+        watermark: int,
+        batch_id: int,
+        affected_buckets: list[int] | None = None,
     ) -> None:
         n = self._names()
         key = n[FID_DOC]
@@ -195,6 +207,7 @@ class CdcEngine:
             resolve,
             properties_update={"max_applied_lsn": watermark, "last_batch_id": batch_id},
             delta_rows=delta_rows,
+            affected_buckets=affected_buckets,
         )
 
     # ---------- apply one micro-batch ----------
@@ -240,14 +253,24 @@ class CdcEngine:
                 chunk = chunk.filter(F.col("lsn") > F.lit(lo))
             if hi is not None:
                 chunk = chunk.filter(F.col("lsn") < F.lit(hi))
-            # Pass structure (nothing cached, no full-batch rewrite — both
-            # measured to cap scaling on shared disk):
-            #   P0 lineage: per-partition rows + LSN span over the raw
-            #      chunk — narrow columnar scan, NO validation needed.
-            #   P1 quarantine: validation reason (vectorized UDF) → write
-            #      only the invalid slice (idempotent per batch/chunk dir).
-            #   P2 LWW: validation reason again (second and last UDF eval)
-            #      → max_by dedup; per-key counts ride along.
+            # Pass structure — two SYNCHRONOUS Spark jobs on the critical
+            # path (LWW stats, merge write) plus two ASYNC jobs on the
+            # engine's pool (lineage scan, quarantine write) that overlap
+            # them; per-batch counters ride the jobs that already run
+            # (max_by(op) in the LWW agg, Observation on the quarantine
+            # write, collect_set(bucket) in the stats collect) instead of
+            # costing extra scans:
+            #   async  lineage: per-partition rows + LSN span over the raw
+            #          chunk — narrow columnar scan, joined pre-commit for
+            #          the watermark.
+            #   async  quarantine: expr pre-filter + vectorized reason UDF
+            #          → idempotent write per (batch, chunk) dir; counts by
+            #          reason come from the write's own Observation.
+            #   sync   LWW: narrow (doc_id → max lsn, cnt, winner-op) agg;
+            #          one collect returns delta size, skew stats, delete
+            #          count, and the affected-bucket set.
+            #   sync   merge: broadcast semi-join payload fetch feeds the
+            #          bucket-pruned merge (no internal distinct/count jobs).
             _t = time.time()
             _timing = os.environ.get("SPARK_CDC_TIMING") == "1"
 
@@ -258,8 +281,10 @@ class CdcEngine:
                 _t = time.time()
 
             if True:
-                cells = (
-                    chunk.groupBy(F.spark_partition_id().alias("pid"))
+                lineage_future = self._pool.submit(
+                    lambda chunk=chunk: chunk.groupBy(
+                        F.spark_partition_id().alias("pid")
+                    )
                     .agg(
                         F.count(F.lit(1)).alias("rows"),
                         F.min("lsn").alias("lsn_min"),
@@ -267,8 +292,50 @@ class CdcEngine:
                     )
                     .collect()
                 )
+
+                valid, quar = split_with_reason(
+                    chunk, self.whitelist, mode=self.validation_mode
+                )
+                # idempotent quarantine write: fixed dir per (batch, chunk),
+                # on a pool thread so the (partially disk-bound) write
+                # overlaps the CPU-bound LWW + merge jobs. Counts by reason
+                # come from an Observation on the very same write job — no
+                # re-read.
+                qdir = os.path.join(
+                    self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
+                )
+                q_obs = Observation(f"quar-{batch_id}-{ci}")
+                quar_observed = quar.drop("schema_change").observe(
+                    q_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                        for r in QUARANTINE_REASONS
+                    ],
+                )
+                def _write_quarantine(df=quar_observed, qdir=qdir, obs=q_obs):
+                    # stage-then-swap: a redelivered (fully LSN-filtered)
+                    # chunk produces an empty frame and must NOT clobber the
+                    # quarantine of the original delivery
+                    import shutil
+
+                    tmp = qdir + ".inprogress"
+                    df.write.mode("overwrite").parquet(tmp)
+                    if (obs.get.get("n") or 0) > 0 or not os.path.exists(qdir):
+                        if os.path.exists(qdir):
+                            shutil.rmtree(qdir)
+                        os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                        os.rename(tmp, qdir)
+                    else:
+                        shutil.rmtree(tmp, ignore_errors=True)
+
+                q_future = self._pool.submit(_write_quarantine)
+                _mark("submit_async")
+
+                # lineage joins here: the narrow scan overlapped the
+                # quarantine submission, and rows_in gates the salt path
+                cells = lineage_future.result()
                 rows_in = sum(r["rows"] for r in cells)
-                _mark("lineage")
                 totals["rows_in"] += rows_in
                 chunk_lsn_max = None
                 for r in cells:
@@ -286,92 +353,89 @@ class CdcEngine:
                     chunk_lsn_max = (
                         r["lsn_max"] if chunk_lsn_max is None else max(chunk_lsn_max, r["lsn_max"])
                     )
+                _mark("lineage_join")
+
+                # LWW scale path: narrow (key -> max lsn, cnt, winner op)
+                # aggregation — token arrays never enter an agg buffer —
+                # then a broadcast semi-join fetches the winning payload
+                # rows (rationale in dedup.lww_narrow_semi; the
+                # struct-max_by variants measured only ~1.8x scaling
+                # 4->16 cores from allocator churn). The winner's op is a
+                # few bytes, so max_by(op, lsn) rides the same buffers.
+                dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
+                slim = valid.select(*dedup_cols)
+                if rows_in >= self.salt_threshold:
+                    salted_any = True
+                    salted = slim.withColumn(
+                        "__salt",
+                        F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)),
+                    )
+                    partial = salted.groupBy("doc_id", "__salt").agg(
+                        F.max("lsn").alias("lsn"),
+                        F.count(F.lit(1)).alias("__cnt"),
+                        F.max_by("op", "lsn").alias("win_op"),
+                    )
+                    winners = partial.groupBy("doc_id").agg(
+                        F.max("lsn").alias("lsn"),
+                        F.sum("__cnt").alias("cnt"),
+                        F.max_by("win_op", "lsn").alias("win_op"),
+                    )
+                else:
+                    winners = slim.groupBy("doc_id").agg(
+                        F.max("lsn").alias("lsn"),
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.max_by("op", "lsn").alias("win_op"),
+                    )
+                nb = self.table.snapshot()["n_buckets"]
+                winners = winners.withColumn(
+                    "_wb", bucket_expr(F.col("doc_id"), nb)
+                ).persist()
+                w = winners.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("cnt").alias("mx"),
+                    F.sum(F.when(F.col("win_op") == "delete", 1).otherwise(0)).alias(
+                        "deletes"
+                    ),
+                    F.collect_set("_wb").alias("buckets"),
+                ).collect()[0]
+                n_delta = w["n"]
+                totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
+                totals["rows_valid"] += n_delta
+                totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
+                totals["rows_deletes"] += w["deletes"] or 0
+                totals["rows_upserts"] += n_delta - (w["deletes"] or 0)
+                affected = [int(b) for b in (w["buckets"] or [])]
+                _mark("lww_and_stats")
 
                 if rows_in > 0:
-                    valid, quar = split_with_reason(
-                        chunk, self.whitelist, mode=self.validation_mode
-                    )
-                    # idempotent quarantine write: fixed dir per (batch,
-                    # chunk). Submitted from a separate thread so the
-                    # (partially disk-bound) write overlaps the CPU-bound
-                    # LWW + merge jobs — Spark schedules jobs from
-                    # different threads concurrently. Joined before the
-                    # manifest needs its counts.
-                    qdir = os.path.join(
-                        self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
-                    )
-
-                    def _write_quarantine(quar=quar, qdir=qdir):
-                        quar.drop("schema_change").write.mode("overwrite").parquet(qdir)
-
-                    q_future = ThreadPoolExecutor(max_workers=1).submit(_write_quarantine)
-                    _mark("quarantine_submit")
-
-                    # LWW scale path: narrow (key -> max lsn, cnt)
-                    # aggregation — token arrays never enter an agg buffer —
-                    # then a broadcast semi-join fetches the winning payload
-                    # rows (rationale in dedup.lww_narrow_semi; the
-                    # struct-max_by variants measured only ~1.8x scaling
-                    # 4->16 cores from allocator churn).
-                    dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
-                    slim = valid.select(*dedup_cols)
-                    if rows_in >= self.salt_threshold:
-                        salted_any = True
-                        salted = slim.withColumn(
-                            "__salt",
-                            F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)),
-                        )
-                        partial = salted.groupBy("doc_id", "__salt").agg(
-                            F.max("lsn").alias("lsn"), F.count(F.lit(1)).alias("__cnt")
-                        )
-                        winners = partial.groupBy("doc_id").agg(
-                            F.max("lsn").alias("lsn"), F.sum("__cnt").alias("cnt")
-                        )
-                    else:
-                        winners = slim.groupBy("doc_id").agg(
-                            F.max("lsn").alias("lsn"), F.count(F.lit(1)).alias("cnt")
-                        )
-                    winners = winners.persist()
-                    w = winners.agg(
-                        F.count(F.lit(1)).alias("n"), F.max("cnt").alias("mx")
-                    ).collect()[0]
-                    n_delta = w["n"]
-                    totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
-                    totals["rows_valid"] += n_delta
-                    totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
-
                     keys = winners.select("doc_id", "lsn")
                     if n_delta <= 4_000_000:
                         keys = F.broadcast(keys)
                     delta = slim.join(keys, on=["doc_id", "lsn"], how="left_semi").persist()
-                    ops = delta.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
-                    for r in ops:
-                        if r["op"] == "delete":
-                            totals["rows_deletes"] += r["n"]
-                        else:
-                            totals["rows_upserts"] += r["n"]
-                    _mark("lww_and_stats")
+                    # materialize the persisted delta ONCE here: the merge
+                    # write job has three branches over it (left-outer,
+                    # semi, anti) that would otherwise race to compute it
+                    delta.count()
 
                     # even an all-quarantined chunk advances the watermark
                     # (merge with an empty delta commits properties only)
                     watermark = max(applied, chunk_lsn_max or applied)
-                    self._merge_chunk(delta, n_delta, watermark, batch_id)
+                    self._merge_chunk(
+                        delta, n_delta, watermark, batch_id, affected_buckets=affected
+                    )
                     _mark("merge")
                     applied = watermark
                     delta.unpersist()
-                    winners.unpersist()
 
-                    q_future.result()  # quarantine write finished in parallel
-                    qcounts = (
-                        self.spark.read.parquet(qdir)
-                        .groupBy("reason")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    )
-                    for r in qcounts:
-                        by_reason[r["reason"]] = by_reason.get(r["reason"], 0) + r["n"]
-                        totals["rows_quarantined"] += r["n"]
-                    _mark("quarantine_join")
+                winners.unpersist()
+                q_future.result()  # quarantine write finished in parallel
+                qm = q_obs.get
+                for r in QUARANTINE_REASONS:
+                    c = qm.get(r) or 0
+                    if c:
+                        by_reason[r] = by_reason.get(r, 0) + int(c)
+                totals["rows_quarantined"] += int(qm.get("n") or 0)
+                _mark("quarantine_join")
 
                 if change is not None:
                     self.table.apply_schema_change(change, lsn=hi)

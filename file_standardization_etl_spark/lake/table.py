@@ -279,6 +279,7 @@ class LakeTable:
         properties_update: dict | None = None,
         broadcast_threshold_rows: int | None = 2_000_000,
         delta_rows: int | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> None:
         """Bucket-pruned MERGE: join current state of *affected buckets only*
         with ``delta`` on the key and let ``apply_fn(old_cols, new_cols)``
@@ -306,6 +307,17 @@ class LakeTable:
         Unaffected buckets are carried forward by reference — no read, no
         write.
         """
+        import time
+
+        _t = time.time()
+        _timing = os.environ.get("SPARK_CDC_TIMING") == "1"
+
+        def _mark(label):
+            nonlocal _t
+            if _timing:
+                print(f"[merge-timing] {label}: {time.time() - _t:.2f}s", flush=True)
+            _t = time.time()
+
         snap = self.snapshot()
         v = snap["version"]
         key = snap["key_column"]
@@ -313,15 +325,23 @@ class LakeTable:
         cur = TableSchema.from_json(snap["schema"])
 
         delta = delta.withColumn("_bucket", bucket_expr(F.col(key), n_buckets))
-        affected = [r["_bucket"] for r in delta.select("_bucket").distinct().collect()]
+        # callers that already know the delta's bucket set (the CDC engine
+        # folds it into the LWW stats job) skip this extra Spark job
+        affected = (
+            list(affected_buckets)
+            if affected_buckets is not None
+            else [r["_bucket"] for r in delta.select("_bucket").distinct().collect()]
+        )
         if not affected:
             if properties_update:
                 snap["properties"].update(properties_update)
                 self._commit(snap, v)
             return
 
+        _mark("affected")
         old = self.read(buckets=affected)
         n = delta_rows if delta_rows is not None else delta.count()
+        _mark("plan_old")
         use_broadcast = broadcast_threshold_rows is not None and n <= broadcast_threshold_rows
 
         old_pref = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
@@ -352,8 +372,10 @@ class LakeTable:
             )
             merged = resolved(joined)
         merged = merged.withColumn("_bucket", bucket_expr(F.col(key), n_buckets))
+        _mark("build_plan")
 
         new_files = self._write_buckets(merged, v + 1)
+        _mark("write_buckets")
         files = dict(snap["files"])
         for b in affected:
             files.pop(str(b), None)

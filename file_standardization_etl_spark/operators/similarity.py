@@ -68,6 +68,41 @@ def sign_bucket(col, dims: list[int]):
     return F.concat(*bits)
 
 
+def near_dup_groups(
+    emb: DataFrame, min_cosine: float = 0.35, scale: int = 100
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: every vector that has a
+    near-duplicate among *earlier* vectors (vec_id order), with its keeper
+    (the smallest such earlier id) and near-dup degree.
+
+    Baseline all-pairs formulation (exact); at scale the candidate pair
+    space is cut by the sign-bucket LSH of :func:`lsh_bucketed_pairs` and
+    the verification/grouping below is unchanged. Threshold test is pure
+    integer arithmetic (score >= t ⇔ dot>0 ∧ dot²·10⁴ ≥ t²·10⁴·n1·n2), so
+    group membership is bit-deterministic cross-engine.
+    """
+    base = with_quantized(emb, scale)
+    a, b = base.alias("a"), base.alias("b")
+    t2_e4 = int(round(min_cosine * min_cosine * 10_000))
+    dot = dot_expr(F.col("a.q"), F.col("b.q"))
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(10_000)
+                >= F.lit(t2_e4) * F.col("a.norm2") * F.col("b.norm2")
+            )
+        )
+        .select(F.col("a.vec_id").alias("keeper_cand"), F.col("b.vec_id").alias("dup_vec"))
+    )
+    return pairs.groupBy("dup_vec").agg(
+        F.min("keeper_cand").alias("keeper"),
+        F.count(F.lit(1)).alias("n_near"),
+    )
+
+
 def lsh_bucketed_pairs(
     emb: DataFrame,
     dims: list[int] | None = None,

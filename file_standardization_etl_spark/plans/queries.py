@@ -397,5 +397,7 @@ QUERIES: dict[str, tuple] = {
 }
 
 from .queries_ext import EXT_QUERIES  # noqa: E402  (registry merge)
+from .queries_ext2 import EXT2_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(EXT2_QUERIES)

@@ -1,0 +1,308 @@
+"""Registry tranche 3: the SURVEY.md §2 rows not yet carried by an
+explicit ``queries()`` entry — junk-row filtering (P5/P9, with the P4
+empty-row drop), scalar-subquery routing joins (J4), global scalar
+aggregates (A4/A5) with deterministic top-1 (O3), null-count profiling
+(A7, feeding the P3 empty-column-prune decision), ORDER BY/top-k
+(O1/O2/O3), embedding-cosine near-dup (training-data op roster), and a
+checked CSV source round-trip (S2). Same cross-engine determinism rules
+as queries.py."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import similarity
+from ..sources import readers
+from .queries import cents, load
+
+# ---------------------------------------------------------------------------
+# P4/P5/P9 + F3/F4: junk-row removal over a synthesized report grid
+# ---------------------------------------------------------------------------
+
+
+def q_filter_junk_rows(spark, sf_dir):
+    """P5 junk-row filter + P4 empty-row drop + P9 IN-list (ref junk-set
+    {pageof, total, toplam, ...} normalize-and-drop at
+    repomix-output.xml:7333-7358; empty-row filter at
+    src/business/rules.py:92-103). A report-style line grid is synthesized
+    deterministically from `orders` (junk every 97th key, blanks every
+    89th), then normalized (lower + strip non-letters — F3/F4 shape) and
+    filtered by the junk set."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
+    key = F.col("o_orderkey")
+    junk = (
+        F.when(key % 3 == 0, F.lit(" Page 1 of 2 "))
+        .when(key % 3 == 1, F.lit("TOTAL:"))
+        .otherwise(F.lit(" Toplam "))
+    )
+    line = (
+        F.when(key % 89 == 0, F.lit("   "))
+        .when(key % 97 == 0, junk)
+        .otherwise(F.concat_ws(" ", F.col("o_orderpriority"), F.col("o_orderstatus")))
+    )
+    grid = o.select("o_orderkey", line.alias("line"))
+    norm = F.lower(F.regexp_replace(F.col("line"), "[^A-Za-z]", ""))
+    return (
+        grid.withColumn("norm", norm)
+        .filter((F.col("norm") != "") & ~F.col("norm").isin("pageof", "total", "toplam"))
+        .select("o_orderkey", "line")
+    )
+
+
+SQL_FILTER_JUNK = """
+WITH grid AS (
+  SELECT o_orderkey,
+         CASE
+           WHEN o_orderkey % 89 = 0 THEN '   '
+           WHEN o_orderkey % 97 = 0 THEN
+             CASE WHEN o_orderkey % 3 = 0 THEN ' Page 1 of 2 '
+                  WHEN o_orderkey % 3 = 1 THEN 'TOTAL:'
+                  ELSE ' Toplam ' END
+           ELSE o_orderpriority || ' ' || o_orderstatus
+         END AS line
+  FROM orders WHERE o_orderkey < 30000
+)
+SELECT o_orderkey, line FROM (
+  SELECT *, lower(regexp_replace(line, '[^A-Za-z]', '', 'g')) AS norm FROM grid
+) WHERE norm <> '' AND norm NOT IN ('pageof', 'total', 'toplam')
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: scalar-subquery routing join
+# ---------------------------------------------------------------------------
+
+
+def q_join_scalar_subquery(spark, sf_dir):
+    """J4: route rows by a scalar looked up from a two-table correlated
+    query (ref country routing: implicit cross join of email_connection_info
+    × dim_countries correlated on receiver, config/queries.py:204-210).
+    Here: resolve NATION_7's key through nation×region, then take that
+    nation's customers — the 1-row scalar side joins broadcast, no
+    collect()."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    c = load(spark, sf_dir, "customer")
+    scalar = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter((F.col("n_name") == "NATION_7") & F.col("r_name").isNotNull())
+        .select("n_nationkey")
+    )
+    return (
+        c.join(F.broadcast(scalar), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+SQL_JOIN_SCALAR_SUBQ = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_nationkey = (
+  SELECT n_nationkey FROM nation, region
+  WHERE n_regionkey = r_regionkey AND n_name = 'NATION_7' AND r_name IS NOT NULL
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4/A5/O3: global scalar aggregates, one output row
+# ---------------------------------------------------------------------------
+
+
+def q_agg_global_scalars(spark, sf_dir):
+    """A4 filtered global MAX (ref max(id) WHERE file LIKE '%client%',
+    repomix-output.xml:8333-8335), A5 net-sales sums (sum(sales)-sum(returns),
+    src/models/sales.py:113-124), O3 deterministic top-1 (result[0] of a
+    sorted read, repomix-output.xml:8351-8352). Three 1-row frames
+    crossJoin into one row — no collect()."""
+    ev = load(spark, sf_dir, "events")
+    max_click = ev.filter(F.col("event_type") == "click").agg(
+        F.max("event_id").alias("max_click_id")
+    )
+    net = ev.agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", cents(F.col("value"))).otherwise(F.lit(0)))
+            - F.sum(F.when(F.col("event_type") == "error", cents(F.col("value"))).otherwise(F.lit(0)))
+        ).alias("net_value_cents")
+    )
+    top1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(1)
+        .select(F.col("event_id").alias("top_purchase_event"))
+    )
+    return max_click.crossJoin(net).crossJoin(top1)
+
+
+SQL_AGG_GLOBAL = """
+SELECT
+  (SELECT MAX(event_id) FROM events WHERE event_type = 'click') AS max_click_id,
+  (SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+             - SUM(CASE WHEN event_type = 'error' THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+   FROM events) AS net_value_cents,
+  (SELECT event_id FROM events WHERE event_type = 'purchase'
+   ORDER BY value DESC, event_id LIMIT 1) AS top_purchase_event
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 + P3: null-count profile driving the empty-column-prune decision
+# ---------------------------------------------------------------------------
+
+
+def q_agg_null_profile(spark, sf_dir):
+    """A7 null-count profile (ref df[required].isnull().sum(),
+    src/models/stock.py:66-69) + the P3 empty-column-prune decision bit
+    (drop iff all values null, repomix-output.xml:7294-7308). Nulls are
+    synthesized deterministically via NULLIF so both engines see the same
+    missingness."""
+    li = load(spark, sf_dir, "lineitem")
+    a = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    b = F.nullif(F.col("l_linestatus"), F.lit("F"))
+    c = F.nullif(F.col("l_linenumber").cast("long"), F.lit(1))
+    prof = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(a.isNull(), F.lit(1))).alias("nulls_returnflag"),
+        F.count(F.when(b.isNull(), F.lit(1))).alias("nulls_linestatus"),
+        F.count(F.when(c.isNull(), F.lit(1))).alias("nulls_linenumber"),
+    )
+    return prof.select(
+        "*",
+        (F.col("nulls_returnflag") == F.col("n_rows")).alias("prune_returnflag"),
+        (F.col("nulls_linestatus") == F.col("n_rows")).alias("prune_linestatus"),
+    )
+
+
+SQL_AGG_NULL_PROFILE = """
+SELECT n_rows, nulls_returnflag, nulls_linestatus, nulls_linenumber,
+       nulls_returnflag = n_rows AS prune_returnflag,
+       nulls_linestatus = n_rows AS prune_linestatus
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 END) AS BIGINT) AS nulls_returnflag,
+         CAST(COUNT(CASE WHEN NULLIF(l_linestatus, 'F') IS NULL THEN 1 END) AS BIGINT) AS nulls_linestatus,
+         CAST(COUNT(CASE WHEN NULLIF(CAST(l_linenumber AS BIGINT), 1) IS NULL THEN 1 END) AS BIGINT) AS nulls_linenumber
+  FROM lineitem
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1/O2/O3: ORDER BY + top-k
+# ---------------------------------------------------------------------------
+
+
+def q_order_topk(spark, sf_dir):
+    """O1/O2 ORDER BY (ref ORDER BY column_position, starting_row,
+    config/queries.py:130) + O3 top-k take (repomix-output.xml:8351-8352).
+    Total order with explicit tiebreak so both engines agree; TakeOrdered
+    physical op — no full sort materialization."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            cents(F.col("o_totalprice")).alias("total_cents"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+SQL_ORDER_TOPK = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents, o_orderpriority
+FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (training-data operator roster)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate groups (brute-force verify; the LSH
+    scale path shares the verification — see operators/similarity.py).
+    Threshold 0.35: this synthetic corpus's cosine ceiling is ~0.51, so a
+    production-style 0.9 would be vacuously empty."""
+    return similarity.near_dup_groups(
+        load(spark, sf_dir, "embeddings"), min_cosine=0.35
+    )
+
+
+SQL_DEDUP_EMB_COSINE = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), n2 AS (
+  SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS norm2 FROM n
+), pairs AS (
+  SELECT a.vec_id AS keeper_cand, b.vec_id AS dup_vec
+  FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+    AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 10000
+        >= 1225 * a.norm2 * b.norm2
+)
+SELECT dup_vec, CAST(MIN(keeper_cand) AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_near
+FROM pairs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2: CSV source round-trip, oracle-checked against the parquet original
+# ---------------------------------------------------------------------------
+
+_NATION_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def q_source_csv_roundtrip(spark, sf_dir):
+    """S2 CSV scan (ref CSV extractor, src/etl/extractors.py:48-69): the
+    `nation` table is exported to CSV and read back through the engine's
+    CSV reader with an explicit schema; the aggregate over the round-trip
+    must equal the oracle's aggregate over the parquet original — a
+    lossless-ingest check, not a rows-only smoke test."""
+    n = load(spark, sf_dir, "nation")
+    path = os.path.join(
+        "/tmp", "fse_csv_roundtrip", os.path.basename(os.path.normpath(sf_dir))
+    )
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    back = readers.read_csv(spark, path, schema=_NATION_CSV_SCHEMA, header=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
+SQL_SOURCE_CSV = """
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n_name) AS first_name, MAX(n_nationkey) AS max_key
+FROM nation GROUP BY 1
+"""
+
+
+EXT2_QUERIES: dict[str, tuple] = {
+    "filter_junk_rows": (q_filter_junk_rows, SQL_FILTER_JUNK),
+    "join_scalar_subquery": (q_join_scalar_subquery, SQL_JOIN_SCALAR_SUBQ),
+    "agg_global_scalars": (q_agg_global_scalars, SQL_AGG_GLOBAL),
+    "agg_null_profile": (q_agg_null_profile, SQL_AGG_NULL_PROFILE),
+    "order_topk": (q_order_topk, SQL_ORDER_TOPK),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE),
+    "source_csv_roundtrip": (q_source_csv_roundtrip, SQL_SOURCE_CSV),
+}

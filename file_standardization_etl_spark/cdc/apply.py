@@ -93,7 +93,16 @@ class CdcEngine:
         table_path: str,
         whitelist: list[str] | None = None,
         validation_mode: str = "hybrid",  # hybrid | slim | arrow | pandas | expr
-        salt_threshold: int = 100_000,
+        # Rows-per-chunk above which the two-phase salted LWW engages.
+        # Effectively opt-in by default: the max_by hash aggregate already
+        # pre-reduces every hot key map-side (a key collapses to one row
+        # per task before the shuffle), and measured replays show salting
+        # a normal batch costs ~1.6x (the (key, salt) pre-reduction
+        # multiplies group cardinality by salt_buckets). Lower this only
+        # for adversarial distributions where a single task's group
+        # cardinality overflows the agg hash table, or when using the
+        # window-based LWW formulation (which has no map-side combine).
+        salt_threshold: int = 500_000_000,
         salt_buckets: int = 32,
         n_buckets: int = 16,
     ):

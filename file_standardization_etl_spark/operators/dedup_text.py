@@ -51,15 +51,37 @@ def shingles_expr(n: int = 3) -> str:
 
 
 def minhash_band_signatures(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, band, sig): per-band MinHash signature = lexicographic min
-    of md5(band || shingle)."""
+    """(doc_id, band, sig): per-band MinHash signature.
+
+    ONE md5 per shingle; band ``b``'s 32-bit hash is hex slice
+    ``[8b+1, 8b+8]`` of that digest (md5's 128 bits = four independent
+    32-bit hashes), so the signature pass costs a quarter of the
+    per-band-salted formulation and the four band minima come out of a
+    single shingle scan. Portable: DuckDB slices the same digest."""
+    if not 1 <= n_bands <= 4:
+        raise ValueError("md5 slicing supports 1..4 bands")
     d = with_words(docs).withColumn("sh", F.expr(shingles_expr(shingle_n)))
-    bands = F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band")
-    d = d.select("doc_id", "sh", bands)
-    sig = F.array_min(
-        F.transform("sh", lambda s: F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), s)))
+    h = d.select("doc_id", F.transform("sh", lambda s: F.md5(s)).alias("hs"))
+
+    def hex_slice(b: int):
+        # factory, NOT a `lambda x, b=b:` default-arg closure — a two-param
+        # lambda is pyspark's (element, index) transform variant and would
+        # silently bind b to the array index
+        return lambda x: F.substring(x, 1 + 8 * b, 8)
+
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_min(F.transform("hs", hex_slice(b))).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return d.select("doc_id", "band", sig.alias("sig"))
+    return (
+        h.select("doc_id", F.explode(band_sigs).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
 
 
 def minhash_lsh_candidates(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:

@@ -253,9 +253,10 @@ sh AS (SELECT doc_id,
               list_transform(range(1, greatest(len(w) - 2, 1) + 1),
                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
        FROM w),
-b AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM sh),
+hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh),
+b AS (SELECT doc_id, hs, unnest([0, 1, 2, 3]) AS band FROM hs),
 sig AS (SELECT doc_id, band,
-               list_min(list_transform(sh, s -> md5(CAST(band AS VARCHAR) || '|' || s))) AS sig
+               list_min(list_transform(hs, x -> substr(x, 1 + 8*band, 8))) AS sig
         FROM b)
 """
 

@@ -29,8 +29,16 @@ def main():
     ap.add_argument("--continuous", action="store_true", help="tail forever (default: drain once)")
     ap.add_argument("--processing-time", default="10 seconds")
     ap.add_argument("--n-buckets", type=int, default=64)
-    ap.add_argument("--salt-threshold", type=int, default=100_000)
-    ap.add_argument("--validation-mode", default="slim", choices=["slim", "arrow", "pandas", "expr"])
+    ap.add_argument(
+        "--salt-threshold", type=int, default=500_000_000,
+        help="rows/chunk above which the two-phase salted LWW engages "
+        "(max_by already pre-reduces hot keys map-side; lower only for "
+        "adversarial distributions)",
+    )
+    ap.add_argument(
+        "--validation-mode", default="hybrid",
+        choices=["hybrid", "slim", "arrow", "pandas", "expr"],
+    )
     ap.add_argument("--synthesize", type=int, default=0, help="generate N synthetic events into --log-dir first")
     args = ap.parse_args()
 

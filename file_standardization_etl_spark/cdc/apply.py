@@ -40,9 +40,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark.sql import Observation
+import shutil
 
-from ..functions.validation import split_with_reason
+from pyspark.sql import Observation
+from pyspark.sql import types as T
+
+from ..functions.validation import validation_reason_expr, with_reason
 from ..lake.table import LakeTable, bucket_expr
 from .events import EVENT_SCHEMA, SOURCE_WHITELIST
 
@@ -262,24 +265,30 @@ class CdcEngine:
                 chunk = chunk.filter(F.col("lsn") > F.lit(lo))
             if hi is not None:
                 chunk = chunk.filter(F.col("lsn") < F.lit(hi))
-            # Pass structure — two SYNCHRONOUS Spark jobs on the critical
-            # path (LWW stats, merge write) plus two ASYNC jobs on the
-            # engine's pool (lineage scan, quarantine write) that overlap
-            # them; per-batch counters ride the jobs that already run
-            # (max_by(op) in the LWW agg, Observation on the quarantine
-            # write, collect_set(bucket) in the stats collect) instead of
-            # costing extra scans:
+            # Pass structure — the WAL chunk's token arrays are decoded in
+            # exactly TWO full passes, everything else rides those jobs or
+            # touches only small staged outputs:
             #   async  lineage: per-partition rows + LSN span over the raw
-            #          chunk — narrow columnar scan, joined pre-commit for
-            #          the watermark.
-            #   async  quarantine: expr pre-filter + vectorized reason UDF
-            #          → idempotent write per (batch, chunk) dir; counts by
-            #          reason come from the write's own Observation.
-            #   sync   LWW: narrow (doc_id → max lsn, cnt, winner-op) agg;
-            #          one collect returns delta size, skew stats, delete
-            #          count, and the affected-bucket set.
-            #   sync   merge: broadcast semi-join payload fetch feeds the
-            #          bucket-pruned merge (no internal distinct/count jobs).
+            #          chunk — narrow columnar scan (no arrays), joined
+            #          before the salt gate / watermark commit.
+            #   pass 1 LWW: narrow (doc_id → max lsn, cnt, winner-op) agg
+            #          over validity-filtered rows (validity needs
+            #          size(tokens), so arrays decode once); one collect
+            #          returns delta size, skew stats, delete count, and
+            #          the affected-bucket set.
+            #   pass 2 routed write: ONE scan left-joins the broadcast
+            #          winner keys and writes partitionBy(route):
+            #          invalid → route=q, valid winner → route=d, valid
+            #          loser dropped. This fuses what used to be two more
+            #          full passes (quarantine write + delta semi-join).
+            #   async  quarantine finalize: re-read the small route=q
+            #          slice, assign authoritative reasons with the
+            #          Arrow-vectorized UDF, stage-then-swap into the
+            #          idempotent per-(batch, chunk) dir; counts by reason
+            #          from the write's own Observation.
+            #   sync   merge: reads the file-backed route=d delta (no
+            #          persist, no recompute races) into the bucket-pruned
+            #          MERGE (no internal distinct/count jobs).
             _t = time.time()
             _timing = os.environ.get("SPARK_CDC_TIMING") == "1"
 
@@ -302,47 +311,23 @@ class CdcEngine:
                     .collect()
                 )
 
-                valid, quar = split_with_reason(
-                    chunk, self.whitelist, mode=self.validation_mode
+                expr_r = validation_reason_expr(
+                    F.col("op"),
+                    F.col("tokens"),
+                    F.col("n_tok"),
+                    F.col("source"),
+                    self.whitelist,
                 )
-                # idempotent quarantine write: fixed dir per (batch, chunk),
-                # on a pool thread so the (partially disk-bound) write
-                # overlaps the CPU-bound LWW + merge jobs. Counts by reason
-                # come from an Observation on the very same write job — no
-                # re-read.
+                valid = chunk.filter(expr_r.isNull())
                 qdir = os.path.join(
                     self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
                 )
-                q_obs = Observation(f"quar-{batch_id}-{ci}")
-                quar_observed = quar.drop("schema_change").observe(
-                    q_obs,
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
-                        for r in QUARANTINE_REASONS
-                    ],
+                staging = os.path.join(
+                    self.table_path, "_staging", f"b{batch_id}_c{ci}"
                 )
-                def _write_quarantine(df=quar_observed, qdir=qdir, obs=q_obs):
-                    # stage-then-swap: a redelivered (fully LSN-filtered)
-                    # chunk produces an empty frame and must NOT clobber the
-                    # quarantine of the original delivery
-                    import shutil
 
-                    tmp = qdir + ".inprogress"
-                    df.write.mode("overwrite").parquet(tmp)
-                    if (obs.get.get("n") or 0) > 0 or not os.path.exists(qdir):
-                        if os.path.exists(qdir):
-                            shutil.rmtree(qdir)
-                        os.makedirs(os.path.dirname(qdir), exist_ok=True)
-                        os.rename(tmp, qdir)
-                    else:
-                        shutil.rmtree(tmp, ignore_errors=True)
-
-                q_future = self._pool.submit(_write_quarantine)
-                _mark("submit_async")
-
-                # lineage joins here: the narrow scan overlapped the
-                # quarantine submission, and rows_in gates the salt path
+                # lineage joins here: the narrow scan overlapped plan
+                # construction, and rows_in gates the salt path
                 cells = lineage_future.result()
                 rows_in = sum(r["rows"] for r in cells)
                 totals["rows_in"] += rows_in
@@ -416,15 +401,85 @@ class CdcEngine:
                 affected = [int(b) for b in (w["buckets"] or [])]
                 _mark("lww_and_stats")
 
+                q_future = None
                 if rows_in > 0:
-                    keys = winners.select("doc_id", "lsn")
+                    # pass 2: ONE routed scan writes quarantine candidates
+                    # and the LWW delta together
+                    keys = winners.select("doc_id", "lsn").withColumn(
+                        "__win", F.lit(1)
+                    )
                     if n_delta <= 4_000_000:
                         keys = F.broadcast(keys)
-                    delta = slim.join(keys, on=["doc_id", "lsn"], how="left_semi").persist()
-                    # materialize the persisted delta ONCE here: the merge
-                    # write job has three branches over it (left-outer,
-                    # semi, anti) that would otherwise race to compute it
-                    delta.count()
+                    routed = (
+                        chunk.drop("schema_change")
+                        .join(keys, on=["doc_id", "lsn"], how="left")
+                        .withColumn(
+                            "route",
+                            F.when(expr_r.isNotNull(), F.lit("q")).when(
+                                F.col("__win") == 1, F.lit("d")
+                            ),
+                        )
+                        .filter(F.col("route").isNotNull())
+                        .drop("__win")
+                    )
+                    routed.write.mode("overwrite").partitionBy("route").parquet(staging)
+                    _mark("routed_write")
+
+                    # quarantine finalize (async, small): authoritative
+                    # reasons via the Arrow-vectorized UDF over the staged
+                    # q-slice; stage-then-swap so a redelivered (fully
+                    # LSN-filtered) chunk can't clobber the original
+                    # delivery's quarantine
+                    reason_mode = (
+                        "slim" if self.validation_mode == "hybrid" else self.validation_mode
+                    )
+
+                    def _finalize_quarantine(
+                        qsrc=os.path.join(staging, "route=q"),
+                        qdir=qdir,
+                        mode=reason_mode,
+                        tag=f"quar-{batch_id}-{ci}",
+                    ):
+                        try:
+                            qdf = self.spark.read.parquet(qsrc)
+                        except Exception:
+                            return None  # no invalid rows staged (or redelivery)
+                        obs = Observation(tag)
+                        reasoned = with_reason(qdf, self.whitelist, mode=mode).observe(
+                            obs,
+                            F.count(F.lit(1)).alias("n"),
+                            *[
+                                F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                                for r in QUARANTINE_REASONS
+                            ],
+                        )
+                        tmp = qdir + ".inprogress"
+                        reasoned.write.mode("overwrite").parquet(tmp)
+                        counts = obs.get  # safe: the write action ran
+                        if (counts.get("n") or 0) > 0 or not os.path.exists(qdir):
+                            if os.path.exists(qdir):
+                                shutil.rmtree(qdir)
+                            os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                            os.rename(tmp, qdir)
+                        else:
+                            shutil.rmtree(tmp, ignore_errors=True)
+                        return counts
+
+                    q_future = self._pool.submit(_finalize_quarantine)
+
+                    # merge consumes the file-backed delta: no persist, no
+                    # recompute races across the merge's three branches
+                    try:
+                        delta = self.spark.read.parquet(
+                            os.path.join(staging, "route=d")
+                        ).select(*dedup_cols)
+                    except Exception:
+                        delta = self.spark.createDataFrame(
+                            [],
+                            T.StructType(
+                                [f for f in EVENT_SCHEMA.fields if f.name in dedup_cols]
+                            ),
+                        )
 
                     # even an all-quarantined chunk advances the watermark
                     # (merge with an empty delta commits properties only)
@@ -434,16 +489,16 @@ class CdcEngine:
                     )
                     _mark("merge")
                     applied = watermark
-                    delta.unpersist()
 
                 winners.unpersist()
-                q_future.result()  # quarantine write finished in parallel
-                qm = q_obs.get
-                for r in QUARANTINE_REASONS:
-                    c = qm.get(r) or 0
-                    if c:
-                        by_reason[r] = by_reason.get(r, 0) + int(c)
-                totals["rows_quarantined"] += int(qm.get("n") or 0)
+                if q_future is not None:
+                    qm = q_future.result() or {}  # finalize ran in parallel
+                    for r in QUARANTINE_REASONS:
+                        c = qm.get(r) or 0
+                        if c:
+                            by_reason[r] = by_reason.get(r, 0) + int(c)
+                    totals["rows_quarantined"] += int(qm.get("n") or 0)
+                shutil.rmtree(staging, ignore_errors=True)
                 _mark("quarantine_join")
 
                 if change is not None:

@@ -351,45 +351,50 @@ class CdcEngine:
 
                 # LWW scale path: narrow (key -> max lsn, cnt, winner op)
                 # aggregation — token arrays never enter an agg buffer —
-                # then a broadcast semi-join fetches the winning payload
-                # rows (rationale in dedup.lww_narrow_semi; the
-                # struct-max_by variants measured only ~1.8x scaling
-                # 4->16 cores from allocator churn). The winner's op is a
-                # few bytes, so max_by(op, lsn) rides the same buffers.
+                # then the routed pass fetches the winning payload rows.
+                # The winner's op rides INSIDE the lsn as `lsn*2 +
+                # is_delete`: a string/struct agg buffer (max_by) would
+                # force SortAggregate (per-partition sorts, spill-prone at
+                # high thread counts); an all-primitive max keeps the agg
+                # a HashAggregate with full map-side combine, which is
+                # also what makes hot keys a non-issue (each key collapses
+                # to one row per task before the shuffle).
                 dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
                 slim = valid.select(*dedup_cols)
+                combined = F.col("lsn") * 2 + F.when(
+                    F.col("op") == "delete", F.lit(1)
+                ).otherwise(F.lit(0))
                 if rows_in >= self.salt_threshold:
                     salted_any = True
-                    salted = slim.withColumn(
-                        "__salt",
-                        F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)),
+                    salted = slim.select(
+                        "doc_id",
+                        combined.alias("__c"),
+                        F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)).alias(
+                            "__salt"
+                        ),
                     )
                     partial = salted.groupBy("doc_id", "__salt").agg(
-                        F.max("lsn").alias("lsn"),
-                        F.count(F.lit(1)).alias("__cnt"),
-                        F.max_by("op", "lsn").alias("win_op"),
+                        F.max("__c").alias("__c"), F.count(F.lit(1)).alias("__cnt")
                     )
                     winners = partial.groupBy("doc_id").agg(
-                        F.max("lsn").alias("lsn"),
-                        F.sum("__cnt").alias("cnt"),
-                        F.max_by("win_op", "lsn").alias("win_op"),
+                        F.max("__c").alias("__c"), F.sum("__cnt").alias("cnt")
                     )
                 else:
-                    winners = slim.groupBy("doc_id").agg(
-                        F.max("lsn").alias("lsn"),
-                        F.count(F.lit(1)).alias("cnt"),
-                        F.max_by("op", "lsn").alias("win_op"),
-                    )
+                    winners = slim.select("doc_id", combined.alias("__c")).groupBy(
+                        "doc_id"
+                    ).agg(F.max("__c").alias("__c"), F.count(F.lit(1)).alias("cnt"))
                 nb = self.table.snapshot()["n_buckets"]
-                winners = winners.withColumn(
-                    "_wb", bucket_expr(F.col("doc_id"), nb)
+                winners = winners.select(
+                    "doc_id",
+                    F.shiftright("__c", 1).alias("lsn"),
+                    (F.col("__c") % 2 == 1).alias("win_del"),
+                    "cnt",
+                    bucket_expr(F.col("doc_id"), nb).alias("_wb"),
                 ).persist()
                 w = winners.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.max("cnt").alias("mx"),
-                    F.sum(F.when(F.col("win_op") == "delete", 1).otherwise(0)).alias(
-                        "deletes"
-                    ),
+                    F.sum(F.when(F.col("win_del"), 1).otherwise(0)).alias("deletes"),
                     F.collect_set("_wb").alias("buckets"),
                 ).collect()[0]
                 n_delta = w["n"]

@@ -70,3 +70,31 @@ def test_split_is_partition(spark):
     valid, quar = split_valid_quarantine(df, SOURCE_WHITELIST, use_pandas_udf=True)
     assert valid.count() + quar.count() == len(evs)
     assert quar.filter(F.col("reason").isNull()).count() == 0
+
+
+def test_engine_validation_modes_agree(spark, tmp_path):
+    """Engine-level parity of every --validation-mode: identical final
+    state AND identical quarantine (lsn → reason) for hybrid / slim /
+    arrow / pandas / expr."""
+    import pytest  # noqa: F401
+
+    from file_standardization_etl_spark.cdc.apply import CdcEngine
+    from file_standardization_etl_spark.cdc.oracle import replay
+
+    evs, df = _events(spark, n=1500, seed=77)
+    oracle = replay(evs)
+    want_state = {
+        k: (list(v["tokens"]), v["last_lsn"]) for k, v in oracle.live_docs().items()
+    }
+    want_quar = {(q["lsn"], q["reason"]) for q in oracle.quarantine}
+    for mode in ("hybrid", "slim", "arrow", "pandas", "expr"):
+        engine = CdcEngine(spark, str(tmp_path / f"cdc_{mode}"), validation_mode=mode)
+        engine.init()
+        engine.apply_batch(df, batch_id=0)
+        got_state = {
+            r["doc_id"]: (list(r["tokens"]), r["last_lsn"])
+            for r in engine.state().collect()
+        }
+        got_quar = {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()}
+        assert got_state == want_state, f"state diverged in mode={mode}"
+        assert got_quar == want_quar, f"quarantine diverged in mode={mode}"

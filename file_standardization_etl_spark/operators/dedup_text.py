@@ -85,18 +85,23 @@ def minhash_band_signatures(docs: DataFrame, n_bands: int = 4, shingle_n: int = 
 
 
 def minhash_lsh_candidates(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any band signature."""
+    """Candidate near-dup pairs: docs sharing any band signature.
+
+    Group-and-explode rather than a sig⋈sig self-join: a self-join would
+    recompute every per-doc signature on both sides (the md5 pass is the
+    expensive part), while grouping computes them once and explodes each
+    bucket's doc list into pairs. Pair blowup per bucket is |bucket|² in
+    both formulations; LSH bucket sizes are small by construction."""
     sigs = minhash_band_signatures(docs, n_bands, shingle_n)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 

@@ -59,6 +59,69 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    centroid_ids: list[int] | None = None,
+    nprobe: int = 4,
+    scale: int = 100,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, then
+    answer each query exactly over only its ``nprobe`` nearest cells.
+
+    Centroids here are a deterministic sample of the corpus itself (fixed
+    ids) — at scale they would come from a k-means pass, but the *query
+    plan shape* is identical: a tiny broadcast centroid table, one
+    broadcast-join argmax pass to assign cells (the inverted file), and a
+    probe that touches |corpus|·nprobe/n_cells rows instead of |corpus|.
+    All comparisons are exact-integer cosine (see module docstring) with
+    id tie-breaks, so Spark and the DuckDB oracle agree bitwise.
+    """
+    centroid_ids = centroid_ids or list(range(100, 116))
+    base = with_quantized(emb, scale)
+    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("norm2").alias("cn")
+    )
+    corpus = base.filter(~F.col("vec_id").isin(query_ids))
+
+    def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).withColumn(
+            "cscore",
+            dot_expr(F.col("q"), F.col("cq"))
+            / F.sqrt((F.col("norm2") * F.col("cn")).cast("double")),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("cq", "cn", "cscore", "crank")
+        )
+
+    # inverted file: every corpus vector lives in exactly one cell
+    inv = nearest_cells(corpus, "vec_id", 1)
+    probes = nearest_cells(
+        base.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), "q", "norm2"
+        ),
+        "query_id",
+        nprobe,
+    ).select("query_id", F.col("q").alias("qq"), F.col("norm2").alias("qn"), "cent_id")
+
+    cands = inv.join(probes, on="cent_id")
+    scored = cands.withColumn(
+        "score",
+        dot_expr(F.col("q"), F.col("qq"))
+        / F.sqrt((F.col("norm2") * F.col("qn")).cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "score")
+    )
+
+
 def sign_bucket(col, dims: list[int]):
     """Axis-parallel LSH bucket: concatenated sign bits of chosen coords
     (1-based element_at — portable)."""

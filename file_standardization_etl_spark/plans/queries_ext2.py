@@ -297,7 +297,60 @@ FROM nation GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN (cell-probe scale path; complements ann_lsh_pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize into centroid cells (deterministic corpus
+    sample as centroids), probe nprobe nearest cells per query, exact
+    integer-cosine re-rank — the |corpus|/n_cells·nprobe scan pattern a
+    100 TB similarity search needs (see operators/similarity.py)."""
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, nprobe=4
+    )
+
+
+SQL_ANN_IVF = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), n2 AS (
+  SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS norm2 FROM n
+), cents AS (
+  SELECT vec_id AS cent_id, qv AS cq, norm2 AS cn FROM n2 WHERE vec_id BETWEEN 100 AND 115
+), inv AS (
+  SELECT vec_id, qv, norm2, cent_id FROM (
+    SELECT c.vec_id, c.qv, c.norm2, ce.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY CAST(list_dot_product(c.qv, ce.cq) AS BIGINT)
+                      / sqrt(CAST(c.norm2 * ce.cn AS DOUBLE)) DESC, ce.cent_id) AS r
+    FROM (SELECT * FROM n2 WHERE vec_id NOT IN (0,1,2,3,4)) c CROSS JOIN cents ce
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, qq, qn, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.qv AS qq, q.norm2 AS qn, ce.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_dot_product(q.qv, ce.cq) AS BIGINT)
+                      / sqrt(CAST(q.norm2 * ce.cn AS DOUBLE)) DESC, ce.cent_id) AS r
+    FROM (SELECT * FROM n2 WHERE vec_id IN (0,1,2,3,4)) q CROSS JOIN cents ce
+  ) WHERE r <= 4
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT p.query_id, i.vec_id AS neighbor_id,
+         CAST(list_dot_product(i.qv, p.qq) AS BIGINT)
+           / sqrt(CAST(i.norm2 * p.qn AS DOUBLE)) AS score,
+         CAST(row_number() OVER (PARTITION BY p.query_id
+           ORDER BY CAST(list_dot_product(i.qv, p.qq) AS BIGINT)
+                    / sqrt(CAST(i.norm2 * p.qn AS DOUBLE)) DESC, i.vec_id) AS INT) AS rank
+  FROM inv i JOIN probes p ON i.cent_id = p.cent_id
+) WHERE rank <= 10
+"""
+
+
 EXT2_QUERIES: dict[str, tuple] = {
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "filter_junk_rows": (q_filter_junk_rows, SQL_FILTER_JUNK),
     "join_scalar_subquery": (q_join_scalar_subquery, SQL_JOIN_SCALAR_SUBQ),
     "agg_global_scalars": (q_agg_global_scalars, SQL_AGG_GLOBAL),

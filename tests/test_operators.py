@@ -97,3 +97,29 @@ def test_multimodal_decode_stub_plumbing(spark, docs):
     frames = multimodal.frame_sample(meta, every_n=10)
     fcount = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] >= 1 for r in fcount)
+
+
+def test_ivf_topk_consistent_with_bruteforce(spark, emb):
+    """IVF results: correct ranks/ordering, and any neighbor IVF shares
+    with the exact brute-force top-k carries the identical exact score."""
+    qids = [0, 1, 2, 3, 4]
+    ivf = similarity.ivf_topk(emb, qids, k=10, nprobe=4).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in similarity.brute_force_topk(emb, qids, k=50).collect()
+    }
+    common = 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert brute[key] == r["score"]  # exact same IEEE value
+            common += 1
+    assert common > 0  # probing must recover some true near neighbors

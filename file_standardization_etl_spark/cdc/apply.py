@@ -309,222 +309,233 @@ class CdcEngine:
                     print(f"[cdc-timing] {label}: {time.time() - _t:.2f}s", flush=True)
                 _t = time.time()
 
-            if True:
-                lineage_future = self._pool.submit(
-                    lambda chunk=chunk: chunk.groupBy(
-                        F.spark_partition_id().alias("pid")
-                    )
-                    .agg(
-                        F.count(F.lit(1)).alias("rows"),
-                        F.min("lsn").alias("lsn_min"),
-                        F.max("lsn").alias("lsn_max"),
-                    )
-                    .collect()
+            lineage_future = self._pool.submit(
+                lambda chunk=chunk: chunk.groupBy(
+                    F.spark_partition_id().alias("pid")
                 )
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.min("lsn").alias("lsn_min"),
+                    F.max("lsn").alias("lsn_max"),
+                )
+                .collect()
+            )
 
-                expr_r = validation_reason_expr(
-                    F.col("op"),
-                    F.col("tokens"),
-                    F.col("n_tok"),
-                    F.col("source"),
-                    self.whitelist,
-                )
-                valid = chunk.filter(expr_r.isNull())
-                qdir = os.path.join(
-                    self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
-                )
-                staging = os.path.join(
-                    self.table_path, "_staging", f"b{batch_id}_c{ci}"
-                )
+            expr_r = validation_reason_expr(
+                F.col("op"),
+                F.col("tokens"),
+                F.col("n_tok"),
+                F.col("source"),
+                self.whitelist,
+            )
+            valid = chunk.filter(expr_r.isNull())
+            qdir = os.path.join(
+                self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
+            )
+            staging = os.path.join(
+                self.table_path, "_staging", f"b{batch_id}_c{ci}"
+            )
 
-                # lineage joins here: the narrow scan overlapped plan
-                # construction, and rows_in gates the salt path
-                cells = lineage_future.result()
-                rows_in = sum(r["rows"] for r in cells)
-                totals["rows_in"] += rows_in
-                chunk_lsn_max = None
-                for r in cells:
-                    partitions.append(
-                        {
-                            "chunk": ci,
-                            "partition_id": r["pid"],
-                            "rows": r["rows"],
-                            "lsn_min": r["lsn_min"],
-                            "lsn_max": r["lsn_max"],
-                        }
-                    )
-                    lsn_min = r["lsn_min"] if lsn_min is None else min(lsn_min, r["lsn_min"])
-                    lsn_max = r["lsn_max"] if lsn_max is None else max(lsn_max, r["lsn_max"])
-                    chunk_lsn_max = (
-                        r["lsn_max"] if chunk_lsn_max is None else max(chunk_lsn_max, r["lsn_max"])
-                    )
-                _mark("lineage_join")
+            # lineage joins here: the narrow scan overlapped plan
+            # construction, and rows_in gates the salt path
+            cells = lineage_future.result()
+            rows_in = sum(r["rows"] for r in cells)
+            totals["rows_in"] += rows_in
+            chunk_lsn_max = None
+            for r in cells:
+                partitions.append(
+                    {
+                        "chunk": ci,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                        "lsn_min": r["lsn_min"],
+                        "lsn_max": r["lsn_max"],
+                    }
+                )
+                lsn_min = r["lsn_min"] if lsn_min is None else min(lsn_min, r["lsn_min"])
+                lsn_max = r["lsn_max"] if lsn_max is None else max(lsn_max, r["lsn_max"])
+                chunk_lsn_max = (
+                    r["lsn_max"] if chunk_lsn_max is None else max(chunk_lsn_max, r["lsn_max"])
+                )
+            _mark("lineage_join")
 
-                # LWW scale path: narrow (key -> max lsn, cnt, winner op)
-                # aggregation — token arrays never enter an agg buffer —
-                # then the routed pass fetches the winning payload rows.
-                # The winner's op rides INSIDE the lsn as `lsn*2 +
-                # is_delete`: a string/struct agg buffer (max_by) would
-                # force SortAggregate (per-partition sorts, spill-prone at
-                # high thread counts); an all-primitive max keeps the agg
-                # a HashAggregate with full map-side combine, which is
-                # also what makes hot keys a non-issue (each key collapses
-                # to one row per task before the shuffle).
-                dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
-                slim = valid.select(*dedup_cols)
-                combined = F.col("lsn") * 2 + F.when(
-                    F.col("op") == "delete", F.lit(1)
-                ).otherwise(F.lit(0))
-                if rows_in >= self.salt_threshold:
-                    salted_any = True
-                    salted = slim.select(
-                        "doc_id",
-                        combined.alias("__c"),
-                        F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)).alias(
-                            "__salt"
+            # LWW scale path: narrow (key -> max lsn, cnt, winner op)
+            # aggregation — token arrays never enter an agg buffer —
+            # then the routed pass fetches the winning payload rows.
+            # The winner's op rides INSIDE the lsn as `lsn*2 +
+            # is_delete`: a string/struct agg buffer (max_by) would
+            # force SortAggregate (per-partition sorts, spill-prone at
+            # high thread counts); an all-primitive max keeps the agg
+            # a HashAggregate with full map-side combine, which is
+            # also what makes hot keys a non-issue (each key collapses
+            # to one row per task before the shuffle).
+            dedup_cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
+            slim = valid.select(*dedup_cols)
+            combined = F.col("lsn") * 2 + F.when(
+                F.col("op") == "delete", F.lit(1)
+            ).otherwise(F.lit(0))
+            if rows_in >= self.salt_threshold:
+                salted_any = True
+                salted = slim.select(
+                    "doc_id",
+                    combined.alias("__c"),
+                    F.pmod(F.xxhash64(F.col("lsn")), F.lit(self.salt_buckets)).alias(
+                        "__salt"
+                    ),
+                )
+                partial = salted.groupBy("doc_id", "__salt").agg(
+                    F.max("__c").alias("__c"), F.count(F.lit(1)).alias("__cnt")
+                )
+                winners = partial.groupBy("doc_id").agg(
+                    F.max("__c").alias("__c"), F.sum("__cnt").alias("cnt")
+                )
+            else:
+                winners = slim.select("doc_id", combined.alias("__c")).groupBy(
+                    "doc_id"
+                ).agg(F.max("__c").alias("__c"), F.count(F.lit(1)).alias("cnt"))
+            nb = self.table.snapshot()["n_buckets"]
+            winners = winners.select(
+                "doc_id",
+                F.shiftright("__c", 1).alias("lsn"),
+                (F.col("__c") % 2 == 1).alias("win_del"),
+                "cnt",
+                bucket_expr(F.col("doc_id"), nb).alias("_wb"),
+            ).persist()
+            w = winners.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("cnt").alias("mx"),
+                F.sum(F.when(F.col("win_del"), 1).otherwise(0)).alias("deletes"),
+                F.collect_set("_wb").alias("buckets"),
+            ).collect()[0]
+            n_delta = w["n"]
+            totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
+            totals["rows_valid"] += n_delta
+            totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
+            totals["rows_deletes"] += w["deletes"] or 0
+            totals["rows_upserts"] += n_delta - (w["deletes"] or 0)
+            affected = [int(b) for b in (w["buckets"] or [])]
+            _mark("lww_and_stats")
+
+            q_future = None
+            if rows_in > 0:
+                # pass 2: ONE routed scan writes quarantine candidates
+                # and the LWW delta together
+                keys = winners.select("doc_id", "lsn").withColumn(
+                    "__win", F.lit(1)
+                )
+                if n_delta <= 4_000_000:
+                    keys = F.broadcast(keys)
+                routed = (
+                    chunk.drop("schema_change")
+                    .join(keys, on=["doc_id", "lsn"], how="left")
+                    .withColumn(
+                        "route",
+                        F.when(expr_r.isNotNull(), F.lit("q")).when(
+                            F.col("__win") == 1, F.lit("d")
                         ),
                     )
-                    partial = salted.groupBy("doc_id", "__salt").agg(
-                        F.max("__c").alias("__c"), F.count(F.lit(1)).alias("__cnt")
+                    .filter(F.col("route").isNotNull())
+                    .drop("__win")
+                )
+                routed.write.mode("overwrite").partitionBy("route").parquet(staging)
+                _mark("routed_write")
+
+                # quarantine finalize (async, small): authoritative
+                # reasons via the Arrow-vectorized UDF over the staged
+                # q-slice; stage-then-swap so a redelivered (fully
+                # LSN-filtered) chunk can't clobber the original
+                # delivery's quarantine
+                reason_mode = (
+                    "slim" if self.validation_mode == "hybrid" else self.validation_mode
+                )
+
+                def _finalize_quarantine(
+                    qsrc=os.path.join(staging, "route=q"),
+                    qdir=qdir,
+                    mode=reason_mode,
+                    tag=f"quar-{batch_id}-{ci}",
+                ):
+                    # staging is driver-local: existence, not a bare
+                    # except, decides "no invalid rows staged" — any
+                    # real read failure must propagate so counts are
+                    # never silently dropped
+                    if not os.path.isdir(qsrc):
+                        return None  # no invalid rows staged (or redelivery)
+                    qdf = self.spark.read.parquet(qsrc)
+                    obs = Observation(tag)
+                    reasoned = with_reason(qdf, self.whitelist, mode=mode).observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        *[
+                            F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                            for r in QUARANTINE_REASONS
+                        ],
                     )
-                    winners = partial.groupBy("doc_id").agg(
-                        F.max("__c").alias("__c"), F.sum("__cnt").alias("cnt")
+                    # stage OUTSIDE the partition-discovered quarantine
+                    # tree (a crashed leftover named chunk=M.inprogress
+                    # would poison partition discovery)
+                    tmp = os.path.join(
+                        self.table_path, "_staging", f"quar_b{batch_id}_c{ci}"
                     )
+                    reasoned.write.mode("overwrite").parquet(tmp)
+                    counts = obs.get  # safe: the write action ran
+                    if (counts.get("n") or 0) > 0 or not os.path.exists(qdir):
+                        if os.path.exists(qdir):
+                            shutil.rmtree(qdir)
+                        os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                        os.rename(tmp, qdir)
+                    else:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    return counts
+
+                q_future = self._pool.submit(_finalize_quarantine)
+
+                # merge consumes the file-backed delta: no persist, no
+                # recompute races across the merge's three branches.
+                # Existence-gated (driver-local staging), NOT a bare
+                # except: an unexpected read failure must propagate —
+                # substituting an empty delta and then committing the
+                # watermark would permanently drop every valid row in
+                # the chunk with no retry possible.
+                ddir = os.path.join(staging, "route=d")
+                if os.path.isdir(ddir):
+                    delta = self.spark.read.parquet(ddir).select(*dedup_cols)
                 else:
-                    winners = slim.select("doc_id", combined.alias("__c")).groupBy(
-                        "doc_id"
-                    ).agg(F.max("__c").alias("__c"), F.count(F.lit(1)).alias("cnt"))
-                nb = self.table.snapshot()["n_buckets"]
-                winners = winners.select(
-                    "doc_id",
-                    F.shiftright("__c", 1).alias("lsn"),
-                    (F.col("__c") % 2 == 1).alias("win_del"),
-                    "cnt",
-                    bucket_expr(F.col("doc_id"), nb).alias("_wb"),
-                ).persist()
-                w = winners.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("cnt").alias("mx"),
-                    F.sum(F.when(F.col("win_del"), 1).otherwise(0)).alias("deletes"),
-                    F.collect_set("_wb").alias("buckets"),
-                ).collect()[0]
-                n_delta = w["n"]
-                totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
-                totals["rows_valid"] += n_delta
-                totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
-                totals["rows_deletes"] += w["deletes"] or 0
-                totals["rows_upserts"] += n_delta - (w["deletes"] or 0)
-                affected = [int(b) for b in (w["buckets"] or [])]
-                _mark("lww_and_stats")
-
-                q_future = None
-                if rows_in > 0:
-                    # pass 2: ONE routed scan writes quarantine candidates
-                    # and the LWW delta together
-                    keys = winners.select("doc_id", "lsn").withColumn(
-                        "__win", F.lit(1)
-                    )
-                    if n_delta <= 4_000_000:
-                        keys = F.broadcast(keys)
-                    routed = (
-                        chunk.drop("schema_change")
-                        .join(keys, on=["doc_id", "lsn"], how="left")
-                        .withColumn(
-                            "route",
-                            F.when(expr_r.isNotNull(), F.lit("q")).when(
-                                F.col("__win") == 1, F.lit("d")
-                            ),
-                        )
-                        .filter(F.col("route").isNotNull())
-                        .drop("__win")
-                    )
-                    routed.write.mode("overwrite").partitionBy("route").parquet(staging)
-                    _mark("routed_write")
-
-                    # quarantine finalize (async, small): authoritative
-                    # reasons via the Arrow-vectorized UDF over the staged
-                    # q-slice; stage-then-swap so a redelivered (fully
-                    # LSN-filtered) chunk can't clobber the original
-                    # delivery's quarantine
-                    reason_mode = (
-                        "slim" if self.validation_mode == "hybrid" else self.validation_mode
+                    delta = self.spark.createDataFrame(
+                        [],
+                        T.StructType(
+                            [f for f in EVENT_SCHEMA.fields if f.name in dedup_cols]
+                        ),
                     )
 
-                    def _finalize_quarantine(
-                        qsrc=os.path.join(staging, "route=q"),
-                        qdir=qdir,
-                        mode=reason_mode,
-                        tag=f"quar-{batch_id}-{ci}",
-                    ):
-                        try:
-                            qdf = self.spark.read.parquet(qsrc)
-                        except Exception:
-                            return None  # no invalid rows staged (or redelivery)
-                        obs = Observation(tag)
-                        reasoned = with_reason(qdf, self.whitelist, mode=mode).observe(
-                            obs,
-                            F.count(F.lit(1)).alias("n"),
-                            *[
-                                F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
-                                for r in QUARANTINE_REASONS
-                            ],
-                        )
-                        tmp = qdir + ".inprogress"
-                        reasoned.write.mode("overwrite").parquet(tmp)
-                        counts = obs.get  # safe: the write action ran
-                        if (counts.get("n") or 0) > 0 or not os.path.exists(qdir):
-                            if os.path.exists(qdir):
-                                shutil.rmtree(qdir)
-                            os.makedirs(os.path.dirname(qdir), exist_ok=True)
-                            os.rename(tmp, qdir)
-                        else:
-                            shutil.rmtree(tmp, ignore_errors=True)
-                        return counts
+                # even an all-quarantined chunk advances the watermark
+                # (merge with an empty delta commits properties only)
+                watermark = max(applied, chunk_lsn_max or applied)
+                self._merge_chunk(
+                    delta, n_delta, watermark, batch_id, affected_buckets=affected
+                )
+                _mark("merge")
+                applied = watermark
 
-                    q_future = self._pool.submit(_finalize_quarantine)
+            winners.unpersist()
+            if q_future is not None:
+                qm = q_future.result() or {}  # finalize ran in parallel
+                for r in QUARANTINE_REASONS:
+                    c = qm.get(r) or 0
+                    if c:
+                        by_reason[r] = by_reason.get(r, 0) + int(c)
+                totals["rows_quarantined"] += int(qm.get("n") or 0)
+            shutil.rmtree(staging, ignore_errors=True)
+            _mark("quarantine_join")
 
-                    # merge consumes the file-backed delta: no persist, no
-                    # recompute races across the merge's three branches
-                    try:
-                        delta = self.spark.read.parquet(
-                            os.path.join(staging, "route=d")
-                        ).select(*dedup_cols)
-                    except Exception:
-                        delta = self.spark.createDataFrame(
-                            [],
-                            T.StructType(
-                                [f for f in EVENT_SCHEMA.fields if f.name in dedup_cols]
-                            ),
-                        )
-
-                    # even an all-quarantined chunk advances the watermark
-                    # (merge with an empty delta commits properties only)
-                    watermark = max(applied, chunk_lsn_max or applied)
-                    self._merge_chunk(
-                        delta, n_delta, watermark, batch_id, affected_buckets=affected
-                    )
-                    _mark("merge")
-                    applied = watermark
-
-                winners.unpersist()
-                if q_future is not None:
-                    qm = q_future.result() or {}  # finalize ran in parallel
-                    for r in QUARANTINE_REASONS:
-                        c = qm.get(r) or 0
-                        if c:
-                            by_reason[r] = by_reason.get(r, 0) + int(c)
-                    totals["rows_quarantined"] += int(qm.get("n") or 0)
-                shutil.rmtree(staging, ignore_errors=True)
-                _mark("quarantine_join")
-
-                if change is not None:
-                    self.table.apply_schema_change(change, lsn=hi)
-                    applied = max(applied, hi)
-                    # DDL advances the watermark too (oracle parity)
-                    snap = self.table.snapshot()
-                    snap["properties"]["max_applied_lsn"] = applied
-                    snap["properties"]["last_batch_id"] = batch_id
-                    self.table._commit(snap, snap["version"])
+            if change is not None:
+                self.table.apply_schema_change(change, lsn=hi)
+                applied = max(applied, hi)
+                # DDL advances the watermark too (oracle parity)
+                snap = self.table.snapshot()
+                snap["properties"]["max_applied_lsn"] = applied
+                snap["properties"]["last_batch_id"] = batch_id
+                self.table._commit(snap, snap["version"])
 
 
         metrics = BatchMetrics(

@@ -74,53 +74,6 @@ def lww_maxby_salted(
     return final.select(*cols)
 
 
-def lww_narrow_semi(
-    df: DataFrame,
-    key: str = "doc_id",
-    order: str = "lsn",
-    broadcast_key_threshold: int = 4_000_000,
-    salt_buckets: int | None = None,
-):
-    """Scale-path LWW: narrow aggregation + semi-join payload fetch.
-
-    ``max_by(struct(payload))`` keeps the token arrays inside every hash-agg
-    buffer — measured to scale only ~1.8× from 4→16 cores (allocator/GC
-    churn). Instead: (1) aggregate only ``(key → max(order), count)`` —
-    narrow, map-side-combined, skew-immune; (2) broadcast the winner keys
-    and LEFT SEMI join the source, so each winning payload row is *scanned*
-    once and never copied through an aggregation buffer. Falls back to a
-    shuffle semi-join (AQE skew handling) when the winner set is too large
-    to broadcast.
-
-    With ``salt_buckets``, phase 1 pre-reduces on a deterministic
-    order-derived salt first — same guarantee as :func:`lww_maxby_salted`
-    for adversarial single-key batches.
-
-    Returns ``(delta, winners)``: delta = full winning rows (one per key),
-    winners = narrow (key, order, cnt) stats frame.
-    """
-    if salt_buckets:
-        salted = df.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col(order)), F.lit(salt_buckets))
-        )
-        partial = salted.groupBy(key, "__salt").agg(
-            F.max(order).alias(order), F.count(F.lit(1)).alias("__cnt")
-        )
-        winners = partial.groupBy(key).agg(
-            F.max(order).alias(order), F.sum("__cnt").alias("cnt")
-        )
-    else:
-        winners = df.groupBy(key).agg(
-            F.max(order).alias(order), F.count(F.lit(1)).alias("cnt")
-        )
-    keys = winners.select(key, order)
-    n_keys = winners.count()
-    if n_keys <= broadcast_key_threshold:
-        keys = F.broadcast(keys)
-    delta = df.join(keys, on=[key, order], how="left_semi")
-    return delta, winners, n_keys
-
-
 def lww_window(
     df: DataFrame,
     key: str = "doc_id",

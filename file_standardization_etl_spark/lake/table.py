@@ -291,6 +291,23 @@ class LakeTable:
         returns a dict name->Column for the output row (current schema
         names).
 
+        **apply_fn contract — name-based Columns only.** The dicts passed
+        to ``apply_fn`` are always pure name references
+        (``F.col("__o_<name>")`` / ``F.col("__n_<name>")``), never
+        DataFrame-bound columns, and the ``__o_``/``__n_`` prefixes are
+        part of the contract. Callers may therefore safely memoize the
+        returned Column-expression dict across merge() invocations for the
+        same schema (the CDC engine caches per schema version —
+        ``cdc/apply.py`` ``_resolve_cache``); a change to how these dicts
+        are built must invalidate such caches.
+
+        ``affected_buckets``, when supplied, must be a superset of the
+        buckets ``delta`` hashes into under ``bucket_expr`` — the merge
+        only reads those buckets, and a missed bucket would be replaced by
+        delta-only contents (silently erasing its prior rows). The invariant
+        is enforced post-write: any output bucket outside the set aborts
+        the commit.
+
         Physical strategy, chosen by delta size:
 
         - **broadcast** (micro-batch path): the lake side is NEVER
@@ -376,6 +393,17 @@ class LakeTable:
 
         new_files = self._write_buckets(merged, v + 1)
         _mark("write_buckets")
+        # Enforce the affected_buckets superset invariant (docstring): if
+        # the delta wrote a bucket the caller didn't declare, committing
+        # would drop that bucket's prior rows (files[b] replaced by a
+        # delta-only file). Cheap driver-side check; abort, don't commit.
+        stray = set(new_files) - {str(b) for b in affected}
+        if stray:
+            raise ValueError(
+                f"merge wrote undeclared buckets {sorted(stray)}; "
+                f"affected_buckets={sorted(affected)} is not a superset — "
+                "aborting before commit to avoid erasing prior rows"
+            )
         files = dict(snap["files"])
         for b in affected:
             files.pop(str(b), None)

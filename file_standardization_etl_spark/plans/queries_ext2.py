@@ -278,8 +278,12 @@ def q_source_csv_roundtrip(spark, sf_dir):
     must equal the oracle's aggregate over the parquet original — a
     lossless-ingest check, not a rows-only smoke test."""
     n = load(spark, sf_dir, "nation")
+    # per-application path: concurrent runs (parallel pytest, bench+tests)
+    # must not overwrite each other's export mid-read
     path = os.path.join(
-        "/tmp", "fse_csv_roundtrip", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp",
+        f"fse_csv_roundtrip_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)),
     )
     n.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     back = readers.read_csv(spark, path, schema=_NATION_CSV_SCHEMA, header=True)

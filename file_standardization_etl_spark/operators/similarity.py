@@ -131,37 +131,85 @@ def sign_bucket(col, dims: list[int]):
     return F.concat(*bits)
 
 
-def near_dup_groups(
-    emb: DataFrame, min_cosine: float = 0.35, scale: int = 100
-) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: every vector that has a
-    near-duplicate among *earlier* vectors (vec_id order), with its keeper
-    (the smallest such earlier id) and near-dup degree.
+# Band layout for near_dup_groups: 4 OR-amplified bands of 4 sign bits
+# each (16 buckets/band). More bands = recall, more bits = precision /
+# smaller buckets; at 10⁹ vectors you'd raise bits per band so bucket
+# sizes stay bounded — the plan shape is unchanged. Shared with the
+# DuckDB oracle (plans/queries_ext2.py) so the two engines gate on the
+# identical candidate set.
+NEAR_DUP_BANDS: list[list[int]] = [
+    [1, 17, 33, 49],
+    [5, 21, 37, 53],
+    [9, 25, 41, 57],
+    [13, 29, 45, 61],
+]
 
-    Baseline all-pairs formulation (exact); at scale the candidate pair
-    space is cut by the sign-bucket LSH of :func:`lsh_bucketed_pairs` and
-    the verification/grouping below is unchanged. Threshold test is pure
-    integer arithmetic (score >= t ⇔ dot>0 ∧ dot²·10⁴ ≥ t²·10⁴·n1·n2), so
-    group membership is bit-deterministic cross-engine.
+
+def near_dup_groups(
+    emb: DataFrame,
+    min_cosine: float = 0.35,
+    scale: int = 100,
+    bands: list[list[int]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: every vector with an
+    LSH-candidate near-duplicate among *earlier* vectors (vec_id order),
+    its keeper (smallest such earlier id) and near-dup degree.
+
+    Scale-safe shape — never all-pairs: candidate pairs come from a
+    multi-band sign-bucket LSH (same family as :func:`lsh_bucketed_pairs`;
+    OR across ``bands`` for recall), deduplicated across bands, then
+    verified by the exact integer threshold test
+    (score >= t ⇔ dot>0 ∧ dot²·10⁴ ≥ t²·10⁴·n1·n2) — bit-deterministic
+    cross-engine. Pair space is Σ_buckets |bucket|² per band instead of
+    |corpus|²; every join is an equi-join (band, bucket) or (vec_id), so
+    Catalyst never plans a cartesian product (asserted by
+    tools/explain_plans.py).
     """
+    bands = bands or NEAR_DUP_BANDS
     base = with_quantized(emb, scale)
-    a, b = base.alias("a"), base.alias("b")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), sign_bucket(F.col("q"), dims).alias("bucket")
+            )
+            for i, dims in enumerate(bands)
+        ]
+    )
+    buckets = base.select("vec_id", F.explode(band_structs).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("norm2").alias("na")
+    )
+    qb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb")
+    )
     t2_e4 = int(round(min_cosine * min_cosine * 10_000))
-    dot = dot_expr(F.col("a.q"), F.col("b.q"))
     pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("dot", dot)
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("dot", dot_expr(F.col("qa"), F.col("qb")))
         .filter(
             (F.col("dot") > 0)
             & (
                 F.col("dot") * F.col("dot") * F.lit(10_000)
-                >= F.lit(t2_e4) * F.col("a.norm2") * F.col("b.norm2")
+                >= F.lit(t2_e4) * F.col("na") * F.col("nb")
             )
         )
-        .select(F.col("a.vec_id").alias("keeper_cand"), F.col("b.vec_id").alias("dup_vec"))
     )
-    return pairs.groupBy("dup_vec").agg(
-        F.min("keeper_cand").alias("keeper"),
+    return pairs.groupBy(F.col("vec_b").alias("dup_vec")).agg(
+        F.min("vec_a").alias("keeper"),
         F.count(F.lit(1)).alias("n_near"),
     )
 

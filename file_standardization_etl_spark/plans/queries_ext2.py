@@ -231,24 +231,45 @@ FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 15
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate groups (brute-force verify; the LSH
-    scale path shares the verification — see operators/similarity.py).
+    """Embedding-cosine near-duplicate groups, LSH-gated (never
+    all-pairs): multi-band sign-bucket candidates → exact integer-cosine
+    verify → keeper grouping (operators/similarity.py near_dup_groups).
     Threshold 0.35: this synthetic corpus's cosine ceiling is ~0.51, so a
-    production-style 0.9 would be vacuously empty."""
+    production-style 0.9 would be vacuously empty. The oracle gates on the
+    IDENTICAL candidate set (bucket exprs generated from the same
+    NEAR_DUP_BANDS table)."""
     return similarity.near_dup_groups(
         load(spark, sf_dir, "embeddings"), min_cosine=0.35
     )
 
 
-SQL_DEDUP_EMB_COSINE = """
+def _near_dup_bucket_sql() -> str:
+    """UNION ALL select list of (vec_id, band, bucket) — generated from
+    similarity.NEAR_DUP_BANDS so Spark and DuckDB can never drift."""
+    selects = []
+    for i, dims in enumerate(similarity.NEAR_DUP_BANDS):
+        bits = " || ".join(
+            f"(CASE WHEN qv[{d}] > 0 THEN '1' ELSE '0' END)" for d in dims
+        )
+        selects.append(f"SELECT vec_id, {i} AS band, {bits} AS bucket FROM n2")
+    return "\n  UNION ALL\n  ".join(selects)
+
+
+SQL_DEDUP_EMB_COSINE = f"""
 WITH n AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT)) AS qv
   FROM embeddings
 ), n2 AS (
   SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS norm2 FROM n
+), bk AS (
+  {_near_dup_bucket_sql()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS keeper_cand, b.vec_id AS dup_vec
-  FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+  SELECT cand.vec_a AS keeper_cand, cand.vec_b AS dup_vec
+  FROM cand JOIN n2 a ON cand.vec_a = a.vec_id
+            JOIN n2 b ON cand.vec_b = b.vec_id
   WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
     AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 10000
         >= 1225 * a.norm2 * b.norm2

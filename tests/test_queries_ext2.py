@@ -97,6 +97,47 @@ def test_near_dup_groups_invariants(spark):
     assert dot > 0 and dot * dot * 10_000 >= 900 * na * nb  # cos >= 0.3
 
 
+def test_near_dup_lsh_is_subset_of_brute_force(spark):
+    """The LSH-gated pairs must be exactly the brute-force pairs whose ids
+    share at least one sign-bucket band — no false positives ever (the
+    verify step is exact), recall gated only by the bands."""
+    import math
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: [math.floor(x * 100 + 0.5) for x in r["embedding"]] for r in rows}
+
+    def bucket(v, dims):
+        return "".join("1" if v[d - 1] > 0 else "0" for d in dims)
+
+    # driver-side reference: all-pairs verify + band gate
+    t2_e4 = int(round(0.3 * 0.3 * 10_000))
+    expected_pairs = set()
+    ids = sorted(vecs)
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1 :]:
+            a, b = vecs[va], vecs[vb]
+            if not any(
+                bucket(a, dims) == bucket(b, dims) for dims in similarity.NEAR_DUP_BANDS
+            ):
+                continue
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a)
+            nb = sum(x * x for x in b)
+            if dot > 0 and dot * dot * 10_000 >= t2_e4 * na * nb:
+                expected_pairs.add((va, vb))
+    expected = {}
+    for va, vb in expected_pairs:
+        k, n = expected.get(vb, (None, 0))
+        expected[vb] = (va if k is None else min(k, va), n + 1)
+
+    got = {
+        r["dup_vec"]: (r["keeper"], r["n_near"])
+        for r in similarity.near_dup_groups(emb, min_cosine=0.3).collect()
+    }
+    assert got == expected
+
+
 # ---------------------------------------------------------------------------
 # Property-based replay invariance (pure-Python oracle: fast)
 # ---------------------------------------------------------------------------

@@ -125,6 +125,11 @@ class CdcEngine:
         self._pool = ThreadPoolExecutor(max_workers=4)
         # merged-row Column trees per schema version (see _merge_chunk)
         self._resolve_cache: dict[int, dict] = {}
+        # cumulative per-phase wall seconds across all applied batches
+        # (lineage_join / lww_and_stats / routed_write / merge /
+        # quarantine_join) — the bench exports these so a round-over-round
+        # regression can be localized to a phase instead of guessed at
+        self.timings: dict[str, float] = {}
 
     # ---------- lifecycle ----------
 
@@ -305,8 +310,10 @@ class CdcEngine:
 
             def _mark(label):
                 nonlocal _t
+                dt = time.time() - _t
+                self.timings[label] = self.timings.get(label, 0.0) + dt
                 if _timing:
-                    print(f"[cdc-timing] {label}: {time.time() - _t:.2f}s", flush=True)
+                    print(f"[cdc-timing] {label}: {dt:.2f}s", flush=True)
                 _t = time.time()
 
             lineage_future = self._pool.submit(

@@ -84,19 +84,32 @@ def minhash_band_signatures(docs: DataFrame, n_bands: int = 4, shingle_n: int = 
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, n_bands: int = 4, shingle_n: int = 3, max_bucket: int = 1024
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band signature.
 
     Group-and-explode rather than a sig⋈sig self-join: a self-join would
     recompute every per-doc signature on both sides (the md5 pass is the
     expensive part), while grouping computes them once and explodes each
     bucket's doc list into pairs. Pair blowup per bucket is |bucket|² in
-    both formulations; LSH bucket sizes are small by construction."""
+    both formulations; LSH bucket sizes are small by construction —
+    EXCEPT for degenerate signatures (e.g. millions of near-empty docs
+    sharing one min-hash), where a single bucket explodes to |bucket|²
+    pairs. ``max_bucket`` caps that: over-cap buckets are dropped entirely
+    (a bucket holding a measurable fraction of the corpus is a degenerate
+    hash, not a dup cluster). The DuckDB oracle applies the identical cap.
+    Residual risk: the cap filters AFTER aggregation, so the degenerate
+    bucket's doc list still transits one agg buffer (linear, not
+    quadratic — survivable); a corpus known to be adversarial would
+    pre-filter with a narrow count aggregate at the price of a second
+    signature pass.
+    """
     sigs = minhash_band_signatures(docs, n_bands, shingle_n)
     buckets = (
         sigs.groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
     )
     return (
         buckets.select(F.explode("ds").alias("doc_a"), "ds")

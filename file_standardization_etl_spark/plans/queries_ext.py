@@ -257,7 +257,11 @@ hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh),
 b AS (SELECT doc_id, hs, unnest([0, 1, 2, 3]) AS band FROM hs),
 sig AS (SELECT doc_id, band,
                list_min(list_transform(hs, x -> substr(x, 1 + 8*band, 8))) AS sig
-        FROM b)
+        FROM b),
+bsize AS (SELECT band, sig, COUNT(*) AS c FROM sig GROUP BY 1, 2),
+sigc AS (SELECT s.doc_id, s.band, s.sig FROM sig s
+         JOIN bsize ON s.band = bsize.band AND s.sig = bsize.sig
+         WHERE bsize.c BETWEEN 2 AND 1024)
 """
 
 
@@ -268,7 +272,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 SQL_DEDUP_MINHASH = f"""
 WITH {_SQL_SHINGLES}
 SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-FROM sig a JOIN sig b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+FROM sigc a JOIN sigc b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 """
 
 
@@ -280,7 +284,7 @@ SQL_DEDUP_JACCARD = f"""
 WITH {_SQL_SHINGLES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-  FROM sig a JOIN sig b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+  FROM sigc a JOIN sigc b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 ),
 ws AS (SELECT doc_id, list_distinct(w) AS ws FROM w)
 SELECT doc_a, doc_b, j AS jaccard FROM (

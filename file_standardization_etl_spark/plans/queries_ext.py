@@ -14,23 +14,45 @@ from .queries import cents, load
 # ---------------------------------------------------------------------------
 
 
+# One representative per format family (separator × year width × time
+# granularity), incl. the monolith's no-separator extensions — each row
+# synthesizes its string in one of these, the PARSER runs the full
+# 54-format table.
+_SYNTH_DATE_FORMATS = [
+    "%Y-%m-%d %H%M%S", "%d-%m-%Y %H%M", "%m-%d-%Y",
+    "%Y.%m.%d %H%M", "%d.%m.%Y", "%m.%d.%Y %H%M%S",
+    "%Y%m%d%H%M%S", "%Y%m%d", "%d%m%Y%H%M", "%m%d%Y",
+    "%d-%m-%y %H%M%S", "%y-%m-%d", "%m-%d-%y %H%M",
+    "%d.%m.%y", "%y.%m.%d %H%M%S", "%m.%d.%y",
+    "%y%m%d%H%M", "%d%m%y",
+]
+
+
 def q_scalar_dates(spark, sf_dir):
-    """F10-F14: multi-format date parse (42-format trial loop →
-    F.coalesce(to_date×N), ref src/utils/date_utils.py:10-38), last_day
-    (F11), prev-month-end (F12, ref config/queries.py:19), yyyymmdd key
-    (F13), range validation (F14)."""
+    """F10-F14: the reference's FULL multi-format date battery.
+
+    F10: every row renders a timestamp in one of 18 format families
+    (chosen by key), then the complete 54-format trial table
+    (functions/dates.py — config/settings.py:16-71 plus the monolith's
+    extension, repomix-output.xml:7195-7258) parses it back as ONE
+    coalesce(try_to_timestamp×54) expression with the reference's
+    first-match-wins trial order (date_utils.py:10-38), including its
+    ambiguity resolution (a '%d%m%y' string parses as '%y%m%d' when both
+    fit, because that's the order the table lists them) and POSIX
+    century rules for %y. Also: last_day (F11), prev-month-end (F12, ref
+    config/queries.py:19), yyyymmdd key (F13), range validation (F14).
+    """
+    from ..functions.dates import parse_any_ts, spark_pattern
+
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
-    fmt_pick = F.col("o_orderkey") % 3
-    s = (
-        F.when(fmt_pick == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(fmt_pick == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
-        .otherwise(F.date_format("o_orderdate", "MM-dd-yyyy"))
-    )
-    parsed = F.coalesce(
-        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp(s, F.lit("dd/MM/yyyy")),
-        F.try_to_timestamp(s, F.lit("MM-dd-yyyy")),
-    )
+    ts = F.timestamp_add("SECOND", (F.col("o_orderkey") % 86399).cast("int"),
+                         F.col("o_orderdate").cast("timestamp"))
+    fmt_pick = F.col("o_orderkey") % len(_SYNTH_DATE_FORMATS)
+    s = None
+    for i, f in enumerate(_SYNTH_DATE_FORMATS):
+        rendered = F.date_format(ts, spark_pattern(f))
+        s = F.when(fmt_pick == i, rendered) if s is None else s.when(fmt_pick == i, rendered)
+    parsed = parse_any_ts(s)
     return o.select(
         "o_orderkey",
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
@@ -39,28 +61,37 @@ def q_scalar_dates(spark, sf_dir):
         ),
         F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"),
         F.col("o_orderdate").between(F.lit("1996-01-01"), F.lit("1999-12-31")).alias("in_range"),
-        F.date_format(parsed, "yyyy-MM-dd").alias("parsed_roundtrip"),
+        s.alias("rendered"),
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_roundtrip"),
     )
 
 
-SQL_SCALAR_DATES = """
+def _sql_scalar_dates() -> str:
+    from ..functions.dates import duckdb_parse_any_sql
+
+    synth = " ".join(
+        f"WHEN {i} THEN strftime(ts, '{f}')" for i, f in enumerate(_SYNTH_DATE_FORMATS)
+    )
+    return f"""
 SELECT o_orderkey,
        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
        strftime(date_trunc('month', o_orderdate) - INTERVAL 1 DAY, '%Y-%m-%d') AS prev_month_end,
        strftime(o_orderdate, '%Y%m%d') AS ymd,
        o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31' AS in_range,
-       strftime(COALESCE(try_strptime(s, '%Y-%m-%d'), try_strptime(s, '%d/%m/%Y'),
-                         try_strptime(s, '%m-%d-%Y')), '%Y-%m-%d') AS parsed_roundtrip
+       s AS rendered,
+       strftime({duckdb_parse_any_sql("s")}, '%Y-%m-%d %H:%M:%S') AS parsed_roundtrip
 FROM (
   SELECT *,
-         CASE o_orderkey % 3
-           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-           WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
-           ELSE strftime(o_orderdate, '%m-%d-%Y')
-         END AS s
-  FROM orders WHERE o_orderkey < 3000
+         CASE o_orderkey % {len(_SYNTH_DATE_FORMATS)} {synth} END AS s
+  FROM (
+    SELECT *, o_orderdate + (o_orderkey % 86399) * INTERVAL 1 SECOND AS ts
+    FROM orders WHERE o_orderkey < 3000
+  )
 )
 """
+
+
+SQL_SCALAR_DATES = _sql_scalar_dates()
 
 
 def q_scalar_strings(spark, sf_dir):

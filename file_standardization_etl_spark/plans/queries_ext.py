@@ -473,25 +473,93 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (rows-only: mapInPandas is not SQL-expressible)
+# Multimodal plumbing — fully oracle-checked: the mapInPandas kernel is a
+# deterministic md5-derived stub (operators/multimodal.py), and DuckDB has
+# md5(), so the Arrow plumbing's OUTPUT is SQL-expressible even though the
+# plan itself (ArrowEvalPython) is not. The oracle reproduces the stub's
+# seed arithmetic: seed = int(md5(payload)[:8], 16).
 # ---------------------------------------------------------------------------
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing (mapInPandas, Arrow-batched): aggregates
+    include the stub kernel's derived metadata (width/height/n_frames), so
+    the oracle checks the batch kernel's actual output, not just row
+    plumbing."""
     docs = load(spark, sf_dir, "documents")
     meta = multimodal.decode_media(multimodal.synth_media_from_documents(docs))
     return meta.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("byte_len").alias("total_bytes"),
         F.countDistinct("content_hash").alias("n_distinct_payloads"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+        F.sum(F.col("n_frames").cast("long")).alias("sum_frames"),
     )
 
 
+# seed = int(md5(payload)[:8], 16), as portable SQL over the hex digits
+_SQL_MD5_SEED = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+_SQL_MEDIA = f"""
+m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS byte_len,
+         md5(text) AS h
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, media_type, byte_len, h AS content_hash,
+         CASE media_type WHEN 'image' THEN 64 + seed % 1024
+                         WHEN 'video' THEN 320 ELSE 0 END AS width,
+         CASE media_type WHEN 'image' THEN 64 + (seed // 16) % 1024
+                         WHEN 'video' THEN 240 ELSE 0 END AS height,
+         CASE media_type WHEN 'image' THEN 1
+                         WHEN 'video' THEN 1 + seed % 300
+                         ELSE 1 + seed % 48000 END AS n_frames
+  FROM (SELECT *, {_SQL_MD5_SEED} AS seed FROM m)
+)
+"""
+
+SQL_MULTIMODAL_DECODE = f"""
+WITH {_SQL_MEDIA}
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height,
+       CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+FROM meta GROUP BY 1
+"""
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over decoded video metadata (sequence + explode,
+    executor-side fan-out); per-doc sampled-frame counts are
+    oracle-checked against the stub's n_frames arithmetic."""
     docs = load(spark, sf_dir, "documents")
     meta = multimodal.decode_media(multimodal.synth_media_from_documents(docs))
     frames = multimodal.frame_sample(meta, every_n=10)
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH {_SQL_MEDIA}
+SELECT doc_id,
+       CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled_frames
+FROM meta WHERE media_type = 'video'
+"""
 
 
 EXT_QUERIES: dict[str, tuple] = {
@@ -510,6 +578,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "multimodal_decode": (q_multimodal_decode, None),
-    "multimodal_frame_sample": (q_multimodal_frame_sample, None),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
 }

@@ -374,7 +374,59 @@ SELECT query_id, rank, neighbor_id, score FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# S1: positional-grid standardization (the Excel pipeline, minus openpyxl)
+# ---------------------------------------------------------------------------
+
+
+def q_source_grid_standardize(spark, sf_dir):
+    """S1/P3/P4: the reference's Excel raw-grid pipeline
+    (header=None/dtype=str positional grid → empty-column prune →
+    empty-row drop → 1-based renumber, repomix-output.xml:7262-7412) over
+    a deterministically synthesized grid: g3 is all-blank by construction
+    (prune target), every 97th row is fully blank (row-drop target),
+    scattered ''/'nan'/'nat' cells elsewhere must survive. The engine
+    derives the prune set from the DATA (readers.grid_standardize); the
+    oracle knows it by construction."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    key = F.col("o_orderkey")
+    allblank = key % 97 == 0
+    g = o.select(
+        F.when(allblank, F.lit("")).otherwise(key.cast("string")).alias("g1"),
+        F.when(allblank | (key % 7 == 0), F.lit(""))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("g2"),
+        F.when(key % 3 == 0, F.lit(""))
+        .when(key % 3 == 1, F.lit("nan"))
+        .otherwise(F.lit("NaT"))
+        .alias("g3"),
+        F.when(allblank | (key % 11 == 0), F.lit("nan"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("g4"),
+        F.when(allblank | (key % 13 == 0), F.lit("  "))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("g5"),
+    )
+    return readers.grid_standardize(g, structure="TABULAR")
+
+
+SQL_SOURCE_GRID = """
+WITH g AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END AS g1,
+         CASE WHEN o_orderkey % 97 = 0 OR o_orderkey % 7 = 0 THEN '' ELSE o_orderpriority END AS g2,
+         CASE WHEN o_orderkey % 97 = 0 OR o_orderkey % 11 = 0 THEN 'nan' ELSE o_orderstatus END AS g4,
+         CASE WHEN o_orderkey % 97 = 0 OR o_orderkey % 13 = 0 THEN '  '
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS g5
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT g1 AS c1, g2 AS c2, g4 AS c3, g5 AS c4
+FROM g
+WHERE replace(replace(replace(lower(g1 || g2 || g4 || g5), 'nan', ''), 'nat', ''), ' ', '') <> ''
+"""
+
+
 EXT2_QUERIES: dict[str, tuple] = {
+    "source_grid_standardize": (q_source_grid_standardize, SQL_SOURCE_GRID),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "filter_junk_rows": (q_filter_junk_rows, SQL_FILTER_JUNK),
     "join_scalar_subquery": (q_join_scalar_subquery, SQL_JOIN_SCALAR_SUBQ),

@@ -50,21 +50,81 @@ def read_jsonl(
     return r.json(path)
 
 
-def read_excel(spark: SparkSession, path: str, sheet_name=0, **kwargs) -> DataFrame:
-    """Excel bridge (S1). Spark has no native xlsx reader; the reference
-    read sheets into pandas on the driver (`header=None, dtype=str`,
-    `src/etl/extractors.py:22-46`) — we do the same but only as an edge
-    ingest step, converting immediately to a distributed DataFrame."""
+def _pandas_excel_loader(path: str, sheet_name, **kwargs):
+    """Default frame loader: the reference's exact read call —
+    ``header=None, dtype=str, keep_default_na=False``
+    (`repomix-output.xml:7266-7273`, `src/etl/extractors.py:22-46`)."""
     try:
         import pandas as pd
 
-        pdf = pd.read_excel(path, sheet_name=sheet_name, header=None, dtype=str, **kwargs)
+        return pd.read_excel(
+            path, sheet_name=sheet_name, header=None, dtype=str,
+            keep_default_na=False, **kwargs
+        )
     except ImportError as e:  # openpyxl/xlrd not in this environment
         raise NotImplementedError(
             "Excel ingest needs pandas+openpyxl on the edge node; not available here"
         ) from e
-    pdf.columns = [f"c{i}" for i in range(len(pdf.columns))]
-    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet_name=0, frame_loader=None, **kwargs
+) -> DataFrame:
+    """Excel bridge (S1). Spark has no native xlsx reader; the reference
+    read sheets into pandas on the driver — same here, but only as an
+    edge ingest step, converting immediately to a distributed DataFrame
+    of the reference's positional string grid (columns renumbered 1..N,
+    `repomix-output.xml:7410-7412`). ``frame_loader`` injects the sheet
+    source (tests use a fixture frame; production uses the pandas/openpyxl
+    loader), so the grid→typed pipeline is testable without excel libs.
+    """
+    loader = frame_loader or _pandas_excel_loader
+    pdf = loader(path, sheet_name, **kwargs)
+    pdf.columns = [f"c{i + 1}" for i in range(len(pdf.columns))]
+    return spark.createDataFrame(pdf.where(pdf.notna(), None).astype(str))
+
+
+def _grid_blank(c: str):
+    """A cell the reference treats as empty: '', 'nan', 'nat' after strip,
+    case-insensitive (`repomix-output.xml:7300-7305`)."""
+    return F.col(c).isNull() | F.lower(F.trim(F.col(c))).isin("", "nan", "nat")
+
+
+def grid_standardize(df: DataFrame, structure: str = "TABULAR") -> DataFrame:
+    """The reference's raw-grid standardization
+    (`repomix-output.xml:7290-7412`), Spark-first:
+
+    - TABULAR: drop all-empty columns (P3: one narrow aggregate computes
+      per-column non-blank counts; the drop itself is a driver-side
+      schema decision, like any DDL), then drop empty rows (P4: the
+      reference's exact semantics — concatenate the row, lowercase,
+      strip 'nan'/'nat'/' ' substrings, drop if the residue is empty;
+      faithfully including the quirk that literal 'nan' inside real
+      content is also stripped before the emptiness test).
+    - POSITION/CUSTOM POSITION/CUSTOMRAFED: pass through untouched
+      (`repomix-output.xml:7324-7327`).
+    - Both: renumber columns to the 1-based positional names c1..cN
+      (`repomix-output.xml:7410-7412`).
+
+    The aggregate is a single scan; at 100 TB the decision row is one
+    collect of ~N_cols longs — no payload ever reaches the driver.
+    """
+    cols = df.columns
+    if structure == "TABULAR":
+        counts = df.agg(
+            *[F.sum(F.when(~_grid_blank(c), 1).otherwise(0)).alias(c) for c in cols]
+        ).collect()[0]
+        keep = [c for c in cols if (counts[c] or 0) > 0]
+        df = df.select(*keep)
+        concat = F.lower(
+            F.concat_ws("", *[F.coalesce(F.col(c), F.lit("")) for c in keep])
+        )
+        residue = F.replace(
+            F.replace(F.replace(concat, F.lit("nan"), F.lit("")), F.lit("nat"), F.lit("")),
+            F.lit(" "), F.lit(""),
+        )
+        df = df.filter(residue != "")
+    return df.toDF(*[f"c{i + 1}" for i in range(len(df.columns))])
 
 
 def read_fixed_width(

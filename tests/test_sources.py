@@ -52,3 +52,44 @@ def test_documents_bridge_valid_events(spark):
     # CDC whitelist fixture, by design)
     for r in rows[:50]:
         assert validation_reason(r) in (None, "bad_source")
+
+
+def test_excel_grid_pipeline_with_injected_loader(spark):
+    """S1 semantics without openpyxl: a fixture frame stands in for the
+    sheet (header=None/dtype=str positional grid, ref
+    repomix-output.xml:7262-7283), then grid_standardize applies the
+    TABULAR empty-column prune + empty-row drop + 1-based renumber."""
+    import pandas as pd
+
+    sheet = pd.DataFrame(
+        [
+            # header row the reference matches later (kept by the grid step)
+            ["PRODUCT", "QTY", "", "DATE"],
+            ["apple", "5", "nan", "2024-01-31"],
+            ["", "  ", "NaT", ""],          # empty row -> dropped
+            ["banana", "7", "", "2024-02-29"],
+            ["nan nat", "", "nan", ""],     # quirk: residue empty -> dropped
+        ]
+    )
+
+    def loader(path, sheet_name, **kw):
+        assert path == "s3://fake/file.xlsx" and sheet_name == "Sheet1"
+        return sheet
+
+    grid = readers.read_excel(spark, "s3://fake/file.xlsx", "Sheet1", frame_loader=loader)
+    assert grid.columns == ["c1", "c2", "c3", "c4"]
+
+    out = readers.grid_standardize(grid, structure="TABULAR")
+    # column 3 (all ''/'nan'/'NaT') pruned; survivors renumbered c1..c3
+    assert out.columns == ["c1", "c2", "c3"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("PRODUCT", "QTY", "DATE"),
+        ("apple", "5", "2024-01-31"),
+        ("banana", "7", "2024-02-29"),
+    }
+
+    # POSITION structures pass through (repomix-output.xml:7324-7327)
+    pos = readers.grid_standardize(grid, structure="POSITION")
+    assert pos.columns == ["c1", "c2", "c3", "c4"]
+    assert pos.count() == 5

@@ -236,12 +236,16 @@ class LakeTable:
 
     # ---------- write helpers ----------
 
-    def _write_buckets(self, df: DataFrame, version_hint: int) -> dict[str, str]:
+    def _write_buckets(
+        self, df: DataFrame, version_hint: int, n_buckets: int | None = None
+    ) -> dict[str, str]:
         """Write df (with ``_bucket`` column) partitioned by bucket; return
         bucket -> directory map. One shuffle task per bucket → one file per
-        bucket (bounded small-file count at scale)."""
+        bucket (bounded small-file count at scale). ``n_buckets`` defaults
+        to the current snapshot's (rebucket passes the new layout)."""
         snap_dir = os.path.join(self.path, self.DATA, f"s{version_hint}-{uuid.uuid4().hex[:8]}")
-        n_buckets = self.snapshot()["n_buckets"]
+        if n_buckets is None:
+            n_buckets = self.snapshot()["n_buckets"]
         (
             df.repartition(n_buckets, "_bucket")
             .sortWithinPartitions(self.snapshot()["key_column"])
@@ -463,6 +467,37 @@ class LakeTable:
         self._commit(snap, v)
 
     # ---------- maintenance ----------
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Migrate the table to a new hash-bucket count (SCALE.md §2: a
+        table seeded at 16 buckets must be able to grow into 10⁵ without a
+        new table). One read → one bucketed rewrite under the NEW layout →
+        one atomic snapshot commit that swaps ``n_buckets`` and the full
+        file list together, so readers/mergers never observe a mixed
+        layout. Concurrent writers lose the optimistic version check
+        (CommitConflict) rather than corrupting the layout.
+
+        At 100 TB this is a full-table rewrite — the point is that it is
+        ONE linear, shuffle-once job (repartition on the new bucket id,
+        one file per bucket) that can run as maintenance, after which
+        every MERGE prunes against the new layout; without it the bucket
+        count is frozen at table create.
+        """
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        snap = self.snapshot()
+        v = snap["version"]
+        key = snap["key_column"]
+        cur = TableSchema.from_json(snap["schema"])
+        withb = self.read().select(*[F.col(n) for n in cur.names()]).withColumn(
+            "_bucket", bucket_expr(F.col(key), n_buckets)
+        )
+        new_files = self._write_buckets(withb, v + 1, n_buckets=n_buckets)
+        snap["n_buckets"] = n_buckets
+        snap["files"] = {
+            b: {"path": p, "schema_version": cur.version} for b, p in new_files.items()
+        }
+        self._commit(snap, v)
 
     def compact(self, expire_tombstones_below_lsn: int | None = None) -> None:
         """Rewrite all buckets under the current schema version; optionally

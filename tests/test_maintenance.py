@@ -74,3 +74,51 @@ def test_continuous_tail_applies_new_segments(spark, tmp_path):
     want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in oracle.live_docs().items()}
     assert got == want
     assert engine.quarantine().count() == len(oracle.quarantine)
+
+
+def test_rebucket_preserves_state_and_new_layout_merges(spark, tmp_path):
+    """SCALE.md §2: n_buckets must be migratable after table create. State
+    must be bitwise identical across the rewrite, the snapshot must swap
+    layout + files atomically, and subsequent batches must merge (and
+    bucket-prune) correctly under the new layout."""
+    cfg = EventGenConfig(n_events=3000, n_docs=150, seed=37)
+    events = generate_events(cfg)
+    # WAL contract: batches must be LSN-coherent slices (disorder only
+    # WITHIN a batch) — slice by lsn, not by arrival position
+    first = [e for e in events if e["lsn"] <= 1500]
+    second = [e for e in events if e["lsn"] > 1500]
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=8)
+    engine.init()
+    engine.apply_batch(events_df(spark, first), batch_id=0)
+
+    def snap_all():
+        return {
+            r["doc_id"]: (
+                list(r["tokens"]) if r["tokens"] is not None else None,
+                r["last_lsn"], r["deleted"],
+            )
+            for r in engine.state(include_deleted=True).collect()
+        }
+
+    before = snap_all()
+    assert engine.table.snapshot()["n_buckets"] == 8
+
+    engine.table.rebucket(32)
+    snap = engine.table.snapshot()
+    assert snap["n_buckets"] == 32
+    assert all(0 <= int(b) < 32 for b in snap["files"])
+    after = snap_all()
+    assert after == before
+
+    # ingest continues under the new layout; final state matches the oracle
+    engine.apply_batch(events_df(spark, second), batch_id=1)
+    oracle = replay(events)
+    got = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine.state().collect()}
+    want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in oracle.live_docs().items()}
+    assert got == want
+
+    # shrink migration too (32 -> 4)
+    engine.table.rebucket(4)
+    assert engine.table.snapshot()["n_buckets"] == 4
+    got4 = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine.state().collect()}
+    assert got4 == want

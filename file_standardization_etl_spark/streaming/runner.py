@@ -41,6 +41,7 @@ class StreamingCdcRunner:
         engine: CdcEngine,
         checkpoint_dir: str | None = None,
         max_files_per_trigger: int | None = None,
+        batch_file_rewrite: bool = True,
     ):
         self.spark = spark
         self.log_dir = os.path.abspath(log_dir)
@@ -49,6 +50,11 @@ class StreamingCdcRunner:
             engine.table_path, "_stream_checkpoint"
         )
         self.max_files_per_trigger = max_files_per_trigger
+        # When True, re-read each micro-batch's immutable file list as a
+        # plain batch DataFrame for full Catalyst optimization; False
+        # forces the incremental-plan slow path (also the automatic
+        # fallback whenever the offset log doesn't parse).
+        self.batch_file_rewrite = batch_file_rewrite
         self.batches_seen: list[int] = []
 
     def _reader(self):
@@ -67,29 +73,49 @@ class StreamingCdcRunner:
         # unaffected (same immutable file list from the source's own
         # offset log, and the engine's LSN watermark guards redelivery
         # anyway).
-        files = self._batch_files(batch_id)
+        files = self._batch_files(batch_id) if self.batch_file_rewrite else []
         if files:
             df = self.spark.read.schema(EVENT_SCHEMA).parquet(*files)
         self.engine.apply_batch(df, batch_id=batch_id)
 
+    # FileStreamSource offset-log format this optimization depends on
+    # (a Spark-internal contract, guarded accordingly): the file
+    # checkpoint/sources/0/<batch_id> starts with a version line "v1",
+    # followed by one JSON object per file, each carrying a "path" key.
+    _OFFSET_LOG_VERSION = "v1"
+
     def _batch_files(self, batch_id: int) -> list[str]:
-        """Files of this micro-batch, from the FileStreamSource offset log
-        (checkpoint/sources/0/<batch_id>: one JSON entry per file)."""
+        """Files of this micro-batch from the FileStreamSource offset log.
+
+        Returns [] — falling back to the (slower but always-correct)
+        incremental streaming plan — whenever the log is absent or does
+        NOT match the expected format: a Spark minor-version change to
+        the offset-log layout must degrade performance, never
+        correctness. The fallback path is oracle-tested
+        (tests/test_streaming.py)."""
         import json
 
         path = os.path.join(self.checkpoint_dir, "sources", "0", str(batch_id))
         try:
-            out = []
             with open(path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line.startswith("{"):
-                        e = json.loads(line)
-                        if "path" in e:
-                            out.append(e["path"])
-            return out
+                lines = [ln.strip() for ln in f if ln.strip()]
         except OSError:
             return []
+        if not lines or lines[0] != self._OFFSET_LOG_VERSION:
+            return []  # unknown log version -> incremental plan
+        out = []
+        for line in lines[1:]:
+            if not line.startswith("{"):
+                return []  # unexpected payload shape
+            try:
+                e = json.loads(line)
+            except ValueError:
+                return []
+            p = e.get("path")
+            if not isinstance(p, str):
+                return []
+            out.append(p)
+        return out
 
     def run_available_now(self, timeout_sec: int = 600) -> None:
         """Drain the current log contents exactly once and stop."""

@@ -89,3 +89,46 @@ def test_stream_lost_checkpoint_still_exactly_once(spark, tmp_path):
     StreamingCdcRunner(spark, str(log_dir), engine).run_available_now()
     assert state_dict(engine) == state_before == oracle_dict(replay(events))
     assert engine.quarantine().count() == len(replay(events).quarantine)
+
+
+def test_stream_fallback_incremental_plan_matches_oracle(spark, tmp_path):
+    """The offset-log rewrite is an optimization with a Spark-internal
+    format dependency; the fallback (incremental streaming plan) must be
+    equally correct. Force it and compare against the oracle."""
+    log_dir = tmp_path / "wal"
+    cfg = EventGenConfig(n_events=2000, n_docs=150, seed=61)
+    events = generate_events(cfg)
+    write_segment(spark, log_dir, events[:1000], "seg0")
+    write_segment(spark, log_dir, events[1000:], "seg1")
+
+    engine = CdcEngine(spark, str(tmp_path / "lake"))
+    engine.init()
+    runner = StreamingCdcRunner(
+        spark, str(log_dir), engine, max_files_per_trigger=1, batch_file_rewrite=False
+    )
+    runner.run_available_now()
+    assert state_dict(engine) == oracle_dict(replay(events))
+
+
+def test_batch_files_guards_offset_log_format(spark, tmp_path):
+    """Any deviation from the expected FileStreamSource offset-log format
+    must degrade to [] (incremental plan), never crash or return junk."""
+    engine = CdcEngine(spark, str(tmp_path / "lake"))
+    runner = StreamingCdcRunner(spark, str(tmp_path / "wal"), engine)
+    src = tmp_path / "lake" / "_stream_checkpoint" / "sources" / "0"
+    src.mkdir(parents=True)
+
+    def put(batch_id, text):
+        (src / str(batch_id)).write_text(text)
+
+    put(0, 'v1\n{"path":"file:///a.parquet","timestamp":1,"batchId":0}\n')
+    assert runner._batch_files(0) == ["file:///a.parquet"]
+    put(1, 'v2\n{"path":"file:///a.parquet"}\n')      # future log version
+    assert runner._batch_files(1) == []
+    put(2, 'v1\nnot-json\n')                           # garbage payload
+    assert runner._batch_files(2) == []
+    put(3, 'v1\n{"timestamp":1}\n')                    # entry without path
+    assert runner._batch_files(3) == []
+    put(4, "")                                         # empty file
+    assert runner._batch_files(4) == []
+    assert runner._batch_files(99) == []               # absent file

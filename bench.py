@@ -42,6 +42,9 @@ HEADLINE_QUERIES = [
     "window_ffill",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "join_entity_cascade",
+    "scalar_dates",
     "ann_brute_topk",
     "text_quality",
 ]

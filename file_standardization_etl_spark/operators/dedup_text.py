@@ -158,24 +158,58 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", F.expr(" + ".join(bit_terms)).cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance (bucketed self-join on
-    the high byte keeps the pair space bounded at scale)."""
-    s = simhash16(docs).withColumn("bucket", (F.col("simhash") / 256).cast("int"))
-    a, b = s.alias("a"), s.alias("b")
-    return (
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, band-rotated.
+
+    Pigeonhole guarantee: two signatures within ``max_hamming`` bit flips
+    must agree EXACTLY on at least one of ``n_bands`` disjoint bit bands
+    whenever ``max_hamming < n_bands`` — so candidates are the union of
+    per-band bucket joins (equi-joins, never all-pairs), deduplicated,
+    then verified by exact popcount. With 16-bit signatures and 4 bands
+    the recall is exact for hamming ≤ 3; precision comes from the verify.
+
+    Scale: per-band bucket count is 2^(bits/n_bands); at 10⁹ docs you'd
+    move to a 64-bit simhash with 4×16-bit bands (65 536 buckets/band) —
+    identical plan shape, wider signature. The old high-byte single-band
+    variant missed any pair whose differing bits straddled the byte.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    band_bits = bits // n_bands
+    s = simhash16(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bk = s.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            "hamming",
-        )
+        .select("doc_a", "doc_b", "hamming")
     )

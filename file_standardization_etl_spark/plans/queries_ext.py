@@ -349,6 +349,28 @@ FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 """
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Band-rotated SimHash near-pair search (4 disjoint 4-bit bands →
+    bucket equi-joins → exact popcount verify). The oracle is the
+    BRUTE-FORCE all-pairs hamming join: by the pigeonhole guarantee
+    (hamming ≤ 3 < 4 bands ⇒ some band agrees exactly) the banded plan
+    must reproduce it bit-for-bit — so the oracle check also proves the
+    banding loses no recall."""
+    return dedup_text.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -572,6 +594,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_pairs": (q_ann_lsh_pairs, SQL_ANN_LSH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

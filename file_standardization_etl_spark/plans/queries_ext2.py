@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -425,8 +426,74 @@ WHERE replace(replace(replace(lower(g1 || g2 || g4 || g5), 'nan', ''), 'nat', ''
 """
 
 
+# ---------------------------------------------------------------------------
+# dd_attribute_detail mapping: metadata-driven header→canonical columns
+# ---------------------------------------------------------------------------
+
+
+def q_grid_attribute_map(spark, sf_dir):
+    """The reference's dynamic schema registry end-to-end
+    (functions/attribute_map.py — dd_attribute_detail name/position
+    matching, repomix-output.xml:7423-7549): a synthesized grid carries a
+    messy header row ('Product  Name?' etc.) and a sub-header to skip;
+    the attribute specs match by F1-normalized name (first spec via
+    original_column_name, third via second_column_name), drop the junk
+    column, start data at row 2, and cast the quantity (F15). The engine
+    derives the header mapping from the DATA; the oracle knows it by
+    construction."""
+    from ..functions.attribute_map import AttributeSpec, apply_attribute_mapping
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    idx = F.row_number().over(Window.orderBy("o_orderkey")) - 1
+    w = o.select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice",
+                 idx.alias("row_idx"))
+    grid = w.select(
+        "row_idx",
+        F.when(F.col("row_idx") == 0, F.lit("Product  Name?"))
+        .when(F.col("row_idx") == 1, F.lit("---"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("c1"),
+        F.when(F.col("row_idx") == 0, F.lit("Qty Available"))
+        .when(F.col("row_idx") == 1, F.lit("---"))
+        .otherwise(F.floor("o_totalprice").cast("long").cast("string"))
+        .alias("c2"),
+        F.when(F.col("row_idx") == 0, F.lit("REGION"))
+        .when(F.col("row_idx") == 1, F.lit("---"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("c3"),
+        F.when(F.col("row_idx") == 0, F.lit("Internal Use Only!"))
+        .otherwise(F.lit("x"))
+        .alias("c4"),
+    )
+    attrs = [
+        AttributeSpec("PRODUCT_NAME", original_column_name="PRODUCT NAME",
+                      starting_row=2, is_mandatory=True),
+        AttributeSpec("AVAILABLE_QUANTITY", original_column_name="QTY_AVAILABLE",
+                      starting_row=2, is_mandatory=True, type_ddl="bigint"),
+        AttributeSpec("BRANCH_NAME", original_column_name="BOLGE",
+                      second_column_name="Region", starting_row=2),
+        AttributeSpec("DATA_DATE", original_column_name="TARIH"),  # unmatched, optional → null
+    ]
+    return apply_attribute_mapping(grid, attrs, structure="TABULAR")
+
+
+SQL_GRID_ATTRIBUTE_MAP = """
+WITH w AS (
+  SELECT o_orderpriority, o_orderstatus, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS row_idx
+  FROM orders WHERE o_orderkey < 1500
+)
+SELECT o_orderpriority AS PRODUCT_NAME,
+       CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS BIGINT) AS AVAILABLE_QUANTITY,
+       o_orderstatus AS BRANCH_NAME,
+       CAST(NULL AS VARCHAR) AS DATA_DATE
+FROM w WHERE row_idx >= 2
+"""
+
+
 EXT2_QUERIES: dict[str, tuple] = {
     "source_grid_standardize": (q_source_grid_standardize, SQL_SOURCE_GRID),
+    "grid_attribute_map": (q_grid_attribute_map, SQL_GRID_ATTRIBUTE_MAP),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "filter_junk_rows": (q_filter_junk_rows, SQL_FILTER_JUNK),
     "join_scalar_subquery": (q_join_scalar_subquery, SQL_JOIN_SCALAR_SUBQ),

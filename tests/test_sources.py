@@ -93,3 +93,45 @@ def test_excel_grid_pipeline_with_injected_loader(spark):
     pos = readers.grid_standardize(grid, structure="POSITION")
     assert pos.columns == ["c1", "c2", "c3", "c4"]
     assert pos.count() == 5
+
+
+def test_attribute_mapping_position_and_mandatory(spark):
+    """dd_attribute_detail POSITION matching + mandatory enforcement
+    (functions/attribute_map.py; ref repomix-output.xml:7500-7549)."""
+    import pytest
+
+    from file_standardization_etl_spark.functions.attribute_map import (
+        AttributeSpec,
+        apply_attribute_mapping,
+    )
+
+    grid = spark.createDataFrame(
+        [(0, "hdr", "hdr", "hdr"), (1, "apple", "5", "x"), (2, "pear", "9", "y")],
+        "row_idx int, c1 string, c2 string, c3 string",
+    )
+    attrs = [
+        AttributeSpec("PRODUCT_NAME", column_position=1, starting_row=1, is_mandatory=True),
+        AttributeSpec("QTY", column_position=2, starting_row=1, type_ddl="bigint"),
+    ]
+    out = apply_attribute_mapping(grid, attrs, structure="POSITION")
+    assert out.columns == ["PRODUCT_NAME", "QTY"]
+    assert {tuple(r) for r in out.collect()} == {("apple", 5), ("pear", 9)}
+
+    # a mandatory attribute pointing past the grid must raise
+    bad = attrs + [AttributeSpec("MISSING", column_position=9, is_mandatory=True)]
+    with pytest.raises(ValueError, match="MISSING"):
+        apply_attribute_mapping(grid, bad, structure="POSITION")
+
+    # TABULAR: second_column_name fallback + first-occurrence-wins on
+    # duplicate headers
+    tgrid = spark.createDataFrame(
+        [(0, "Ürün Adı", "COL", "COL"), (1, "a", "1", "2")],
+        "row_idx int, c1 string, c2 string, c3 string",
+    )
+    tattrs = [
+        AttributeSpec("PRODUCT_NAME", original_column_name="nope",
+                      second_column_name="ürün adı", starting_row=1, is_mandatory=True),
+        AttributeSpec("FIRST_COL", original_column_name="COL", starting_row=1),
+    ]
+    tout = apply_attribute_mapping(tgrid, tattrs, structure="TABULAR")
+    assert {tuple(r) for r in tout.collect()} == {("a", "1")}

@@ -499,6 +499,60 @@ class LakeTable:
         }
         self._commit(snap, v)
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Metadata + data garbage collection (Iceberg's
+        ``expireSnapshots`` + ``deleteOrphanFiles`` in one pass).
+
+        Every commit writes a new snapshot JSON and new files only for the
+        buckets it touched; nothing is ever deleted on the write path (that
+        is what makes commits atomic and readers isolated) — so a
+        long-running table accumulates one JSON per commit plus superseded
+        bucket directories, and a crashed writer can leave a data dir no
+        snapshot references. This op deletes (a) snapshot files older than
+        the ``keep_last`` most recent and (b) any data directory not
+        referenced by a KEPT snapshot — which collects crashed-writer
+        orphans too. Time travel below the horizon is gone afterwards, by
+        design. Single-writer op, like all maintenance here.
+
+        Returns ``{"snapshots_deleted": n, "data_dirs_deleted": n}``.
+        """
+        import shutil
+
+        v = self.current_version()
+        keep_from = max(0, v - max(1, keep_last) + 1)
+        # data roots referenced by kept snapshots (files map references
+        # .../s{N}-{uuid}/_bucket=K; the deletable unit is the s* root)
+        referenced: set[str] = set()
+        kept_versions = []
+        for name in os.listdir(self._meta_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            ver = int(name[1:-5])
+            if ver >= keep_from:
+                kept_versions.append(ver)
+        for ver in kept_versions:
+            snap = self.snapshot(ver)
+            for entry in snap.get("files", {}).values():
+                referenced.add(os.path.dirname(os.path.abspath(entry["path"])))
+
+        snaps_deleted = 0
+        for name in list(os.listdir(self._meta_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                ver = int(name[1:-5])
+                if ver < keep_from:
+                    os.remove(os.path.join(self._meta_dir, name))
+                    snaps_deleted += 1
+
+        data_root = os.path.join(self.path, self.DATA)
+        dirs_deleted = 0
+        if os.path.isdir(data_root):
+            for name in list(os.listdir(data_root)):
+                p = os.path.abspath(os.path.join(data_root, name))
+                if p not in referenced:
+                    shutil.rmtree(p, ignore_errors=True)
+                    dirs_deleted += 1
+        return {"snapshots_deleted": snaps_deleted, "data_dirs_deleted": dirs_deleted}
+
     def compact(self, expire_tombstones_below_lsn: int | None = None) -> None:
         """Rewrite all buckets under the current schema version; optionally
         drop tombstones whose last_lsn is below the global applied watermark

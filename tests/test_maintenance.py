@@ -122,3 +122,50 @@ def test_rebucket_preserves_state_and_new_layout_merges(spark, tmp_path):
     assert engine.table.snapshot()["n_buckets"] == 4
     got4 = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine.state().collect()}
     assert got4 == want
+
+
+def test_expire_snapshots_gc_and_orphans(spark, tmp_path):
+    """Snapshot/data GC: old snapshot JSONs and unreferenced data dirs
+    (incl. crashed-writer orphans) are deleted; the kept horizon still
+    reads bitwise-identically."""
+    import os
+
+    cfg = EventGenConfig(n_events=2000, n_docs=100, seed=41)
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    # several commits -> several snapshots + superseded bucket dirs
+    slices = [e for e in events]
+    third = len(slices) // 3
+    for i, lo in enumerate(range(0, len(slices), third)):
+        batch = [e for e in events if lo < e["lsn"] <= lo + third]
+        if batch:
+            engine.apply_batch(events_df(spark, batch), batch_id=i)
+    table = engine.table
+    v = table.current_version()
+    assert v >= 3
+
+    # crashed-writer orphan: a data dir no snapshot references
+    orphan = os.path.join(table.path, "data", "s999-deadbeef")
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    with open(os.path.join(orphan, "_bucket=0", "junk.parquet"), "w") as f:
+        f.write("junk")
+
+    before = {
+        r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["last_lsn"])
+        for r in engine.state(include_deleted=True).collect()
+    }
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["snapshots_deleted"] >= 1
+    assert not os.path.exists(orphan)
+    # only the kept snapshot JSONs remain
+    metas = [n for n in os.listdir(os.path.join(table.path, "_meta")) if n.endswith(".json")]
+    assert sorted(metas) == [f"v{v-1}.json", f"v{v}.json"]
+    after = {
+        r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["last_lsn"])
+        for r in engine.state(include_deleted=True).collect()
+    }
+    assert after == before
+    # ingest continues after GC
+    engine.apply_batch(events_df(spark, [e for e in events if e["lsn"] > engine.applied_lsn()]),
+                       batch_id=99)

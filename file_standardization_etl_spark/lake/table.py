@@ -195,16 +195,43 @@ class LakeTable:
 
     # ---------- read ----------
 
-    def read(self, buckets: list[int] | None = None, include_deleted_meta: bool = True) -> DataFrame:
-        """Current-snapshot scan, optionally bucket-pruned.
+    def history(self) -> list[dict]:
+        """Available snapshots, oldest first: version, properties, schema
+        version, file count (Iceberg's ``history`` metadata table).
+        Snapshots below an ``expire_snapshots`` horizon are gone."""
+        out = []
+        for name in sorted(os.listdir(self._meta_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                snap = self.snapshot(int(name[1:-5]))
+                out.append(
+                    {
+                        "version": snap["version"],
+                        "schema_version": snap["schema"]["version"],
+                        "n_files": len(snap.get("files", {})),
+                        "properties": snap.get("properties", {}),
+                    }
+                )
+        return sorted(out, key=lambda s: s["version"])
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_deleted_meta: bool = True,
+        as_of_version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot scan (current, or time travel via ``as_of_version``),
+        optionally bucket-pruned.
 
         Files are read grouped by the schema version they were written
-        under; each group is reconciled to the current schema by column id
-        (rename = alias, add = null-fill, widen = cast) and unioned. The
-        number of live schema versions is tiny, so this is a handful of
-        parquet scans — each still gets Catalyst pushdown and pruning.
+        under; each group is reconciled to THAT SNAPSHOT's schema by
+        column id (rename = alias, add = null-fill, widen = cast) and
+        unioned. The number of live schema versions is tiny, so this is a
+        handful of parquet scans — each still gets Catalyst pushdown and
+        pruning. Time travel only reaches snapshots not yet removed by
+        ``expire_snapshots`` (their data dirs are retained exactly while
+        the snapshot JSON is).
         """
-        snap = self.snapshot()
+        snap = self.snapshot(as_of_version)
         cur = TableSchema.from_json(snap["schema"])
         groups: dict[int, list[str]] = {}
         for b, entry in snap["files"].items():

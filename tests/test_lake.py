@@ -115,3 +115,35 @@ def test_mixed_schema_versions_union(spark, tmp_table_dir):
     t.merge(delta, resolve)
     got = {r["doc_id"]: r["value"] for r in t.read().collect()}
     assert got == {"old1": 1, "old2": 2, "new1": 10_000_000_000}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """Iceberg-parity metadata: read(as_of_version=) reproduces an earlier
+    snapshot bitwise; history() lists the commit chain."""
+    from file_standardization_etl_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "string"), ("v", "bigint")], key_column="k",
+        n_buckets=4,
+    )
+    t.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v bigint"))
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame([("b", 20), ("c", 30)], "k string, v bigint"),
+        lambda old, new: {
+            "k": F.coalesce(old["k"], new["k"]),
+            "v": F.coalesce(new["v"], old["v"]),
+        },
+    )
+    v2 = t.current_version()
+    assert v2 == v1 + 1
+
+    now = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert now == {("a", 1), ("b", 20), ("c", 30)}
+    then = {(r["k"], r["v"]) for r in t.read(as_of_version=v1).collect()}
+    assert then == {("a", 1), ("b", 2)}
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(0, v2 + 1))
+    assert hist[-1]["n_files"] >= hist[v1]["n_files"]

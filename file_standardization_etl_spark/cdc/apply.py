@@ -163,15 +163,15 @@ class CdcEngine:
         return df
 
     def quarantine(self) -> DataFrame:
-        try:
+        # existence-gated like the staging reads (ADVICE r1): an empty
+        # frame means "nothing quarantined yet"; a real read failure on an
+        # existing tree must propagate, not masquerade as empty
+        if os.path.isdir(self.quarantine_path):
             return self.spark.read.parquet(self.quarantine_path)
-        except Exception:
-            import pyspark.sql.types as T
-
-            schema = T.StructType(
-                [f for f in EVENT_SCHEMA.fields if f.name != "schema_change"]
-            ).add("reason", "string").add("batch_id", "long").add("chunk", "int")
-            return self.spark.createDataFrame([], schema)
+        schema = T.StructType(
+            [f for f in EVENT_SCHEMA.fields if f.name != "schema_change"]
+        ).add("reason", "string").add("batch_id", "long").add("chunk", "int")
+        return self.spark.createDataFrame([], schema)
 
     def manifest(self) -> list[dict]:
         out = []

@@ -208,6 +208,9 @@ class LakeTable:
                         "version": snap["version"],
                         "schema_version": snap["schema"]["version"],
                         "n_files": len(snap.get("files", {})),
+                        "bytes": sum(
+                            e.get("bytes", 0) for e in snap.get("files", {}).values()
+                        ),
                         "properties": snap.get("properties", {}),
                     }
                 )
@@ -286,6 +289,14 @@ class LakeTable:
                 out[name.split("=", 1)[1]] = os.path.join(snap_dir, name)
         return out
 
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(path)
+            for f in fs
+        )
+
     def overwrite(self, df: DataFrame) -> None:
         """Replace the whole table content (used for seeding/compaction)."""
         snap = self.snapshot()
@@ -297,7 +308,8 @@ class LakeTable:
         )
         new_files = self._write_buckets(withb, v + 1)
         snap["files"] = {
-            b: {"path": p, "schema_version": cur.version} for b, p in new_files.items()
+            b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
+            for b, p in new_files.items()
         }
         self._commit(snap, v)
 
@@ -439,7 +451,7 @@ class LakeTable:
         for b in affected:
             files.pop(str(b), None)
         for b, p in new_files.items():
-            files[b] = {"path": p, "schema_version": cur.version}
+            files[b] = {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
         snap["files"] = files
         if properties_update:
             snap["properties"].update(properties_update)
@@ -522,7 +534,8 @@ class LakeTable:
         new_files = self._write_buckets(withb, v + 1, n_buckets=n_buckets)
         snap["n_buckets"] = n_buckets
         snap["files"] = {
-            b: {"path": p, "schema_version": cur.version} for b, p in new_files.items()
+            b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
+            for b, p in new_files.items()
         }
         self._commit(snap, v)
 

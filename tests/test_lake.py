@@ -147,3 +147,50 @@ def test_time_travel_and_history(spark, tmp_path):
     hist = t.history()
     assert [h["version"] for h in hist] == list(range(0, v2 + 1))
     assert hist[-1]["n_files"] >= hist[v1]["n_files"]
+
+
+def test_failed_commit_leaves_table_unchanged_and_gc_collects(spark, tmp_path):
+    """Atomicity under a crash between data write and commit: the reader
+    still sees the old version; the half-written files are unreferenced
+    and expire_snapshots collects them."""
+    import os
+
+    import pytest as _pytest
+
+    from file_standardization_etl_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "string"), ("v", "bigint")],
+        key_column="k", n_buckets=4,
+    )
+    t.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v bigint"))
+    v1 = t.current_version()
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+
+    real_commit = t._commit
+
+    def exploding_commit(snap, expected):
+        raise RuntimeError("injected crash after data write, before commit")
+
+    t._commit = exploding_commit
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        t.merge(
+            spark.createDataFrame([("b", 20)], "k string, v bigint"),
+            lambda old, new: {
+                "k": F.coalesce(old["k"], new["k"]),
+                "v": F.coalesce(new["v"], old["v"]),
+            },
+        )
+    t._commit = real_commit
+
+    # reader: unchanged version, unchanged content
+    assert t.current_version() == v1
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    # the crashed writer's data dirs are orphans; GC removes them
+    data_root = os.path.join(t.path, "data")
+    n_dirs_before = len(os.listdir(data_root))
+    stats = t.expire_snapshots(keep_last=10)
+    assert stats["data_dirs_deleted"] >= 1
+    assert len(os.listdir(data_root)) < n_dirs_before
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before

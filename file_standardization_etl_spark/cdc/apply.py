@@ -163,14 +163,21 @@ class CdcEngine:
         return df
 
     def quarantine(self) -> DataFrame:
-        # existence-gated like the staging reads (ADVICE r1): an empty
-        # frame means "nothing quarantined yet"; a real read failure on an
-        # existing tree must propagate, not masquerade as empty
+        # Existence-gated like the staging reads (ADVICE r1): an absent
+        # tree means "nothing quarantined yet"; a real read failure on an
+        # existing tree must propagate, not masquerade as empty. The read
+        # uses the explicit quarantine schema so a crash-recovery state
+        # where the tree exists but holds no parquet yet (finalize died
+        # between makedirs and rename) yields the typed empty frame
+        # instead of an UNABLE_TO_INFER_SCHEMA error.
+        schema = (
+            T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "schema_change"])
+            .add("reason", T.StringType())
+            .add("batch_id", T.LongType())
+            .add("chunk", T.IntegerType())
+        )
         if os.path.isdir(self.quarantine_path):
-            return self.spark.read.parquet(self.quarantine_path)
-        schema = T.StructType(
-            [f for f in EVENT_SCHEMA.fields if f.name != "schema_change"]
-        ).add("reason", "string").add("batch_id", "long").add("chunk", "int")
+            return self.spark.read.schema(schema).parquet(self.quarantine_path)
         return self.spark.createDataFrame([], schema)
 
     def manifest(self) -> list[dict]:

@@ -219,7 +219,6 @@ class LakeTable:
     def read(
         self,
         buckets: list[int] | None = None,
-        include_deleted_meta: bool = True,
         as_of_version: int | None = None,
     ) -> DataFrame:
         """Snapshot scan (current, or time travel via ``as_of_version``),

@@ -190,26 +190,29 @@ def simhash_near_pairs(
             for b in range(n_bands)
         ]
     )
-    bk = s.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    # the scalar signature rides along with the bucket rows, so the
+    # verify needs no extra joins back into the md5-heavy simhash plan
+    # (it is still evaluated once per self-join side — at 1x-per-side the
+    # md5 pass is the floor for any self-join formulation short of an
+    # explicit persist, which a library operator shouldn't impose)
+    bk = s.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
     )
     a, b = bk.alias("a"), bk.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
         .distinct()
-    )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )

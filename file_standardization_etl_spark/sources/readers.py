@@ -81,7 +81,9 @@ def read_excel(
     loader = frame_loader or _pandas_excel_loader
     pdf = loader(path, sheet_name, **kwargs)
     pdf.columns = [f"c{i + 1}" for i in range(len(pdf.columns))]
-    return spark.createDataFrame(pdf.where(pdf.notna(), None).astype(str))
+    # stringify BEFORE null-masking: the reverse order would turn NaN into
+    # the literal string 'None' (astype(str) stringifies the sentinel)
+    return spark.createDataFrame(pdf.astype(str).where(pdf.notna(), None))
 
 
 def _grid_blank(c: str):

@@ -87,6 +87,11 @@ class StreamingCdcRunner:
     def _batch_files(self, batch_id: int) -> list[str]:
         """Files of this micro-batch from the FileStreamSource offset log.
 
+        Every ``compactInterval``-th batch (default 10) Spark writes the
+        log as ``<N>.compact`` carrying ALL entries so far, each tagged
+        with its ``batchId`` — those batches are served by filtering the
+        compact file, so the optimization has no periodic perf cliff.
+
         Returns [] — falling back to the (slower but always-correct)
         incremental streaming plan — whenever the log is absent or does
         NOT match the expected format: a Spark minor-version change to
@@ -95,7 +100,11 @@ class StreamingCdcRunner:
         (tests/test_streaming.py)."""
         import json
 
-        path = os.path.join(self.checkpoint_dir, "sources", "0", str(batch_id))
+        src_dir = os.path.join(self.checkpoint_dir, "sources", "0")
+        path = os.path.join(src_dir, str(batch_id))
+        compact = not os.path.exists(path)
+        if compact:
+            path = os.path.join(src_dir, f"{batch_id}.compact")
         try:
             with open(path) as f:
                 lines = [ln.strip() for ln in f if ln.strip()]
@@ -114,6 +123,8 @@ class StreamingCdcRunner:
             p = e.get("path")
             if not isinstance(p, str):
                 return []
+            if compact and e.get("batchId") != batch_id:
+                continue  # compact files carry the whole history
             out.append(p)
         return out
 

@@ -169,3 +169,17 @@ def test_manifest_lineage(spark, tmp_path):
     assert sum(p["rows"] for p in j["partitions"]) == 1000
     assert j["rows_quarantined"] == len(replay(events).quarantine)
     assert j["max_key_rows"] >= 1
+
+
+def test_quarantine_reader_tolerates_crashed_empty_tree(spark, tmp_path):
+    """Crash-recovery state: the quarantine tree exists (finalize died
+    between makedirs and rename) but holds no parquet — quarantine() must
+    return the typed empty frame, not an inference error."""
+    import os
+
+    engine = CdcEngine(spark, str(tmp_path / "cdc"))
+    engine.init()
+    os.makedirs(os.path.join(engine.quarantine_path, "batch_id=0"))
+    q = engine.quarantine()
+    assert q.count() == 0
+    assert "reason" in q.columns and "doc_id" in q.columns

@@ -135,3 +135,18 @@ def test_attribute_mapping_position_and_mandatory(spark):
     ]
     tout = apply_attribute_mapping(tgrid, tattrs, structure="TABULAR")
     assert {tuple(r) for r in tout.collect()} == {("a", "1")}
+
+
+def test_excel_nan_cells_become_nulls_not_none_strings(spark):
+    """NaN cells from the sheet loader must surface as SQL nulls, not the
+    literal string 'None' (regression: astype-after-mask stringified the
+    sentinel)."""
+    import numpy as np
+    import pandas as pd
+
+    sheet = pd.DataFrame([["a", np.nan], [np.nan, "b"]])
+    grid = readers.read_excel(
+        spark, "p", 0, frame_loader=lambda *a, **k: sheet
+    )
+    rows = {tuple(r) for r in grid.collect()}
+    assert rows == {(None, "b"), ("a", None)}

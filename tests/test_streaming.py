@@ -132,3 +132,20 @@ def test_batch_files_guards_offset_log_format(spark, tmp_path):
     put(4, "")                                         # empty file
     assert runner._batch_files(4) == []
     assert runner._batch_files(99) == []               # absent file
+
+
+def test_batch_files_reads_compact_offset_log(spark, tmp_path):
+    """Every compactInterval-th batch is logged as <N>.compact with the
+    full history; _batch_files must filter it by batchId instead of
+    silently dropping the optimization."""
+    engine = CdcEngine(spark, str(tmp_path / "lake"))
+    runner = StreamingCdcRunner(spark, str(tmp_path / "wal"), engine)
+    src = tmp_path / "lake" / "_stream_checkpoint" / "sources" / "0"
+    src.mkdir(parents=True)
+    (src / "9.compact").write_text(
+        "v1\n"
+        '{"path":"file:///s0.parquet","timestamp":1,"batchId":8}\n'
+        '{"path":"file:///s1.parquet","timestamp":2,"batchId":9}\n'
+        '{"path":"file:///s2.parquet","timestamp":3,"batchId":9}\n'
+    )
+    assert runner._batch_files(9) == ["file:///s1.parquet", "file:///s2.parquet"]

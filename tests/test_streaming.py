@@ -149,3 +149,83 @@ def test_batch_files_reads_compact_offset_log(spark, tmp_path):
         '{"path":"file:///s2.parquet","timestamp":3,"batchId":9}\n'
     )
     assert runner._batch_files(9) == ["file:///s1.parquet", "file:///s2.parquet"]
+
+
+def test_windowed_stats_append_mode_finalizes_under_watermark(spark, tmp_path):
+    """Event-time tumbling windows with a watermark over the WAL: append
+    mode emits only finalized windows (sink ⊆ batch computation, the
+    unfinalized tail absent); a later drain with more data finalizes
+    more."""
+    from file_standardization_etl_spark.streaming import windows as W
+
+    log_dir = tmp_path / "wal"
+    cfg = EventGenConfig(n_events=3000, n_docs=200, seed=71, disorder_window=100)
+    events = generate_events(cfg)
+    write_segment(spark, log_dir, [e for e in events if e["lsn"] <= 1500], "seg0")
+
+    ckpt = str(tmp_path / "ckpt_win")
+    out = str(tmp_path / "win_out")
+    W.run_windowed_stats(spark, str(log_dir), ckpt, out)
+    got1 = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    batch_all = {
+        tuple(r)
+        for r in W.windowed_source_stats(
+            spark.read.schema(EVENT_SCHEMA).parquet(str(log_dir))
+        ).collect()
+    }
+    assert got1, "first drain emitted no finalized windows"
+    assert got1 <= batch_all  # append mode: finalized windows only, values exact
+    assert got1 != batch_all  # the tail past the watermark is not yet final
+
+    # more WAL arrives; the same checkpointed query finalizes more windows
+    write_segment(spark, log_dir, [e for e in events if e["lsn"] > 1500], "seg1")
+    W.run_windowed_stats(spark, str(log_dir), ckpt, out)
+    got2 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch_full = {
+        tuple(r)
+        for r in W.windowed_source_stats(
+            spark.read.schema(EVENT_SCHEMA).parquet(str(log_dir))
+        ).collect()
+    }
+    assert got2 <= batch_full
+    assert len(got2) > len(got1)
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState running totals survive micro-batch
+    boundaries and a restart; the final state equals the batch aggregate
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from file_standardization_etl_spark.streaming import windows as W
+
+    log_dir = tmp_path / "wal"
+    cfg = EventGenConfig(n_events=2000, n_docs=150, seed=73, disorder_window=100)
+    events = generate_events(cfg)
+    write_segment(spark, log_dir, [e for e in events if e["lsn"] <= 1000], "seg0")
+    write_segment(spark, log_dir, [e for e in events if e["lsn"] > 1000], "seg1")
+
+    ckpt = str(tmp_path / "ckpt_state")
+    # one file per trigger -> state must carry across micro-batches
+    W.run_stateful_totals(spark, str(log_dir), ckpt, "totals_a", max_files=1)
+    rows = spark.table("totals_a").collect()
+    final = {}
+    for r in rows:  # update mode: totals are monotone, keep the max
+        cur = final.get(r["source"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["source"]] = (r["n_events"], r["n_tokens"], r["max_lsn"])
+
+    batch = {
+        r["source"]: (r["n"], r["tok"], r["mx"])
+        for r in spark.read.schema(EVENT_SCHEMA).parquet(str(log_dir))
+        .filter(F.col("op") != "schema_change")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)).cast("long")).alias("tok"),
+            F.max("lsn").alias("mx"),
+        )
+        .collect()
+    }
+    assert final == batch

@@ -150,3 +150,60 @@ def test_excel_nan_cells_become_nulls_not_none_strings(spark):
     )
     rows = {tuple(r) for r in grid.collect()}
     assert rows == {(None, "b"), ("a", None)}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_CELLS = ["", " ", "nan", "NaT", "NAN", "apple", "qty 5", "x", "nan nat", "7"]
+
+
+def _pandas_reference_grid(rows):
+    """Pure-pandas transcription of the reference's TABULAR grid cleanup
+    (repomix-output.xml:7290-7412): per-column satirDolu scan, per-row
+    concat residue, 1-based renumber."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    kept = pd.DataFrame()
+    for col in df.columns:
+        satir_dolu = False
+        for value in df[col]:
+            v = str(value).strip()
+            if v != "" and v.lower() != "nan" and v.lower() != "nat":
+                satir_dolu = True
+        if satir_dolu:
+            kept[col] = df[col]
+    out = []
+    for _idx, row in kept.iterrows():
+        concatenated = (
+            "".join(row.astype(str)).lower().replace("nan", "").replace("nat", "").replace(" ", "")
+        )
+        if concatenated != "":
+            out.append(list(row))
+    return [f"c{i + 1}" for i in range(len(kept.columns))], out
+
+
+@given(
+    rows=hst.lists(
+        hst.lists(hst.sampled_from(_CELLS), min_size=3, max_size=3),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_grid_standardize_differential_vs_pandas_reference(rows):
+    """Differential test (SURVEY §5): the Spark grid pipeline must equal a
+    pure-pandas transcription of the reference's own loops on arbitrary
+    small grids — including the 'nan' substring-stripping quirks."""
+    from file_standardization_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    cols, want_rows = _pandas_reference_grid(rows)
+    grid = spark.createDataFrame(
+        [tuple(r) for r in rows], "g1 string, g2 string, g3 string"
+    )
+    out = readers.grid_standardize(grid, structure="TABULAR")
+    assert out.columns == cols
+    got = sorted([tuple(r) for r in out.collect()])
+    assert got == sorted([tuple(r) for r in want_rows])

@@ -158,8 +158,40 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", F.expr(" + ".join(bit_terms)).cast("long").alias("simhash"))
 
 
+def simhash_wide(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """Production-width SimHash from ONE md5 per word.
+
+    The 16-bit variant pays one md5 per (word, bit); here md5's 128 bits
+    are the per-word hash directly — bit ``b`` is bit ``3-(b%4)`` of hex
+    digit ``b//4`` — so the md5 pass runs once per word regardless of
+    signature width (the same single-digest trick as the MinHash band
+    slicing). 60 bits (15 hex digits), not 64, so the signature stays in
+    signed-BIGINT range for both engines' xor/bit_count. Portable: the
+    DuckDB oracle extracts the identical digits.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be 1..60 (signed-bigint safe)")
+    d = with_words(docs)
+    terms = []
+    for b in range(bits):
+        dig = 1 + b // 4
+        shift = 3 - (b % 4)
+        cnt = (
+            "size(filter(hs, h -> "
+            f"((instr('0123456789abcdef', substring(h, {dig}, 1)) - 1) div {2 ** shift}) % 2 = 1))"
+        )
+        terms.append(f"(CASE WHEN 2 * ({cnt}) > size(hs) THEN {1 << b}L ELSE 0L END)")
+    return d.select(
+        "doc_id", F.transform("w", lambda x: F.md5(x)).alias("hs")
+    ).select("doc_id", F.expr(" + ".join(terms)).alias("simhash"))
+
+
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 16
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 16,
+    signature=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, band-rotated.
 
@@ -177,8 +209,10 @@ def simhash_near_pairs(
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole needs max_hamming < n_bands")
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
     band_bits = bits // n_bands
-    s = simhash16(docs)
+    s = (signature or simhash16)(docs)
     bands = F.array(
         *[
             F.struct(

@@ -371,6 +371,47 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_dedup_simhash_wide_pairs(spark, sf_dir):
+    """Production-width (60-bit) SimHash near-pair search: one md5 per
+    word feeds the whole signature, 6 disjoint 10-bit bands gate
+    candidates (pigeonhole-exact for hamming ≤ 5), exact popcount
+    verifies. The oracle is again the brute-force all-pairs join over the
+    wide signature — recall proof included."""
+    return dedup_text.simhash_near_pairs(
+        load(spark, sf_dir, "documents"),
+        max_hamming=5,
+        n_bands=6,
+        bits=60,
+        signature=dedup_text.simhash_wide,
+    )
+
+
+def _simhash_wide_sql_bits(bits: int = 60) -> str:
+    terms = []
+    for b in range(bits):
+        dig = 1 + b // 4
+        shift = 3 - (b % 4)
+        cnt = (
+            "len(list_filter(hs, h -> "
+            f"((instr('0123456789abcdef', substr(h, {dig}, 1)) - 1) // {2 ** shift}) % 2 = 1))"
+        )
+        terms.append(f"(CASE WHEN 2 * ({cnt}) > len(hs) THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SQL_DEDUP_SIMHASH_WIDE = f"""
+WITH s AS (
+  SELECT doc_id, CAST({_simhash_wide_sql_bits()} AS BIGINT) AS simhash
+  FROM (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hs
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -595,6 +636,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_simhash_wide_pairs": (q_dedup_simhash_wide_pairs, SQL_DEDUP_SIMHASH_WIDE),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_pairs": (q_ann_lsh_pairs, SQL_ANN_LSH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -70,8 +70,9 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, then
     answer each query exactly over only its ``nprobe`` nearest cells.
 
-    Centroids here are a deterministic sample of the corpus itself (fixed
-    ids) — at scale they would come from a k-means pass, but the *query
+    Centroids here default to a deterministic sample of the corpus (fixed
+    ids); :func:`kmeans_integer` provides the real k-means pass (exact
+    integer Lloyd's iterations, oracle-checkable). Either way the *query
     plan shape* is identical: a tiny broadcast centroid table, one
     broadcast-join argmax pass to assign cells (the inverted file), and a
     probe that touches |corpus|·nprobe/n_cells rows instead of |corpus|.
@@ -120,6 +121,75 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "score")
     )
+
+
+def floordiv_exact(s, n):
+    """Floor division of exact integers, identical across engines (Spark
+    ``div`` truncates, DuckDB ``//`` floors — they disagree on negatives,
+    so divide the exactly-divisible ``s - pmod(s, n)`` instead)."""
+    return ((s - F.pmod(s, n)) / n).cast("long")
+
+
+def kmeans_integer(
+    emb: DataFrame,
+    init_ids: list[int],
+    iters: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings, bit-exact
+    across engines — the "k-means pass" the IVF operator's coarse
+    quantizer calls for (it used a fixed corpus sample in round 1).
+
+    Why it can be exact: vectors are integer-quantized, so squared L2
+    distance ``norm2_v − 2·v·c + norm2_c`` is exact integer arithmetic;
+    assignment ties break on centroid id; and the centroid update is an
+    exact elementwise integer floor-division of integer sums — no
+    floating-point averaging anywhere, so Spark and the DuckDB oracle
+    (same iterations unrolled in SQL) converge to IDENTICAL centroids.
+
+    Plan shape per iteration (the 100 TB story): one broadcast of k tiny
+    centroid rows against the corpus, one ``min(struct(dist, cid, q))``
+    hash aggregate per vector (map-side combined), one posexplode +
+    (cluster, pos) sum — all linear scans, no shuffle wider than
+    k × dims. Iterations are Spark-side only (no driver collect between
+    supersteps). A cluster that loses all members drops out, same in
+    both engines.
+
+    Returns (cent_id, n_members, centroid: array<long>) for the final
+    iteration's assignment.
+    """
+    base = with_quantized(emb, scale)
+    cents = base.filter(F.col("vec_id").isin(init_ids)).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("norm2").alias("cn")
+    )
+    for _ in range(iters):
+        scored = base.join(F.broadcast(cents)).withColumn(
+            "dist",
+            F.col("norm2") - 2 * dot_expr(F.col("q"), F.col("cq")) + F.col("cn"),
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cent_id", "q")).alias("b")
+        )
+        assigned = best.select(
+            F.col("b.cent_id").alias("cent_id"), F.col("b.q").alias("q")
+        )
+        sums = (
+            assigned.select("cent_id", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("cv", floordiv_exact(F.col("s"), F.col("n")))
+        )
+        cents = (
+            sums.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x.cv
+                ).alias("cq"),
+                F.max("n").alias("n_members"),
+            )
+            .withColumn("cn", dot_expr(F.col("cq"), F.col("cq")))
+        )
+    return cents.select("cent_id", "n_members", F.col("cq").alias("centroid"))
 
 
 def sign_bucket(col, dims: list[int]):

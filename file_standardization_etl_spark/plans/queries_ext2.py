@@ -281,6 +281,72 @@ FROM pairs GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Exact-integer distributed k-means (the IVF coarse quantizer, for real)
+# ---------------------------------------------------------------------------
+
+_KMEANS_INIT = list(range(100, 108))
+_KMEANS_ITERS = 3
+
+
+def q_ann_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd's k-means in exact integer arithmetic
+    (operators/similarity.py kmeans_integer): an ITERATIVE algorithm made
+    oracle-checkable — the DuckDB oracle unrolls the same three
+    iterations in SQL and must converge to bitwise-identical centroids
+    and memberships, because assignment distances, tie-breaks, and the
+    centroid update (elementwise integer floor-division of integer sums)
+    contain no floating point at all."""
+    return similarity.kmeans_integer(
+        load(spark, sf_dir, "embeddings"), init_ids=_KMEANS_INIT, iters=_KMEANS_ITERS
+    )
+
+
+def _kmeans_sql(init_ids: list[int], iters: int, dims: int = 64) -> str:
+    ids = ", ".join(str(i) for i in init_ids)
+    ctes = [
+        "n2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT)) AS qv,"
+        " CAST(list_dot_product(list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT)),"
+        " list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT))) AS BIGINT) AS norm2 FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, qv AS cq, norm2 AS cn FROM n2 WHERE vec_id IN ({ids}))",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT cent_id, qv FROM (
+    SELECT c.cent_id, v.qv,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.norm2 - 2 * CAST(list_dot_product(v.qv, c.cq) AS BIGINT) + c.cn, c.cent_id) AS rn
+    FROM n2 v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""s{it} AS (
+  SELECT cent_id, i AS pos, CAST(SUM(qv[i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{it}, range(1, {dims + 1}) t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT cent_id, list(cv ORDER BY pos) AS cq, MAX(n) AS n_members,
+         CAST(list_dot_product(list(cv ORDER BY pos), list(cv ORDER BY pos)) AS BIGINT) AS cn
+  FROM (SELECT cent_id, pos, n, (s - ((s % n) + n) % n) // n AS cv FROM s{it})
+  GROUP BY 1
+)"""
+        )
+        prev = f"c{it}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT cent_id, n_members, cq AS centroid FROM {prev}"
+    )
+
+
+SQL_ANN_KMEANS = _kmeans_sql(_KMEANS_INIT, _KMEANS_ITERS)
+
+
+# ---------------------------------------------------------------------------
 # S2: CSV source round-trip, oracle-checked against the parquet original
 # ---------------------------------------------------------------------------
 
@@ -495,6 +561,7 @@ EXT2_QUERIES: dict[str, tuple] = {
     "source_grid_standardize": (q_source_grid_standardize, SQL_SOURCE_GRID),
     "grid_attribute_map": (q_grid_attribute_map, SQL_GRID_ATTRIBUTE_MAP),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
+    "ann_kmeans_centroids": (q_ann_kmeans_centroids, SQL_ANN_KMEANS),
     "filter_junk_rows": (q_filter_junk_rows, SQL_FILTER_JUNK),
     "join_scalar_subquery": (q_join_scalar_subquery, SQL_JOIN_SCALAR_SUBQ),
     "agg_global_scalars": (q_agg_global_scalars, SQL_AGG_GLOBAL),

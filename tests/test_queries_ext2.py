@@ -197,3 +197,30 @@ def test_engine_batch_slicing_invariance(spark, tmp_path):
             k: (list(v["tokens"]), v["last_lsn"]) for k, v in oracle.live_docs().items()
         }
         assert got == want, f"slicing {cuts} diverged"
+
+
+def test_kmeans_integer_invariants(spark):
+    """Exact-integer Lloyd's: every corpus vector is assigned (member
+    counts sum to |corpus|), centroids stay in the quantized range, and
+    iterating strictly reduces (or keeps) total within-cluster distance."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    init = list(range(100, 108))
+
+    def sse(cents_df):
+        base = similarity.with_quantized(emb)
+        c = cents_df.select(
+            F.col("cent_id"), F.col("centroid").alias("cq"),
+            similarity.dot_expr(F.col("centroid"), F.col("centroid")).alias("cn"),
+        )
+        scored = base.join(F.broadcast(c)).withColumn(
+            "dist",
+            F.col("norm2") - 2 * similarity.dot_expr(F.col("q"), F.col("cq")) + F.col("cn"),
+        )
+        best = scored.groupBy("vec_id").agg(F.min("dist").alias("d"))
+        return best.agg(F.sum("d")).collect()[0][0]
+
+    one = similarity.kmeans_integer(emb, init_ids=init, iters=1)
+    three = similarity.kmeans_integer(emb, init_ids=init, iters=3)
+    assert three.agg(F.sum("n_members")).collect()[0][0] == n
+    assert sse(three) <= sse(one)

@@ -66,6 +66,7 @@ def ivf_topk(
     centroid_ids: list[int] | None = None,
     nprobe: int = 4,
     scale: int = 100,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, then
     answer each query exactly over only its ``nprobe`` nearest cells.
@@ -79,11 +80,15 @@ def ivf_topk(
     All comparisons are exact-integer cosine (see module docstring) with
     id tie-breaks, so Spark and the DuckDB oracle agree bitwise.
     """
-    centroid_ids = centroid_ids or list(range(100, 116))
     base = with_quantized(emb, scale)
-    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("norm2").alias("cn")
-    )
+    if centroids is not None:
+        # a trained quantizer (e.g. kmeans_integer output): (cent_id, cq, cn)
+        cents = centroids
+    else:
+        centroid_ids = centroid_ids or list(range(100, 116))
+        cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+            F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("norm2").alias("cn")
+        )
     corpus = base.filter(~F.col("vec_id").isin(query_ids))
 
     def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:

@@ -301,7 +301,10 @@ def q_ann_kmeans_centroids(spark, sf_dir):
     )
 
 
-def _kmeans_sql(init_ids: list[int], iters: int, dims: int = 64) -> str:
+def _kmeans_ctes(init_ids: list[int], iters: int, dims: int = 64) -> tuple[list[str], str]:
+    """CTE chain for the unrolled exact-integer Lloyd iterations; returns
+    (ctes, final_cte_name). Shared by the k-means oracle and the
+    kmeans-quantized IVF oracle so they can never drift."""
     ids = ", ".join(str(i) for i in init_ids)
     ctes = [
         "n2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x*100 + 0.5) AS BIGINT)) AS qv,"
@@ -337,13 +340,86 @@ def _kmeans_sql(init_ids: list[int], iters: int, dims: int = 64) -> str:
 )"""
         )
         prev = f"c{it}"
+    return ctes, prev
+
+
+def _kmeans_sql(init_ids: list[int], iters: int, dims: int = 64) -> str:
+    ctes, final = _kmeans_ctes(init_ids, iters, dims)
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT cent_id, n_members, cq AS centroid FROM {prev}"
+        + f"\nSELECT cent_id, n_members, cq AS centroid FROM {final}"
     )
 
 
 SQL_ANN_KMEANS = _kmeans_sql(_KMEANS_INIT, _KMEANS_ITERS)
+
+
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """The full ANN pipeline end-to-end: train the coarse quantizer
+    (exact-integer k-means), build the inverted file, probe nprobe cells
+    per query, exact re-rank — one oracle-checked query. At 100 TB the
+    quantizer trains once offline and the probe is the steady-state cost;
+    here the whole chain is verified bitwise against DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        similarity.kmeans_integer(emb, init_ids=_KMEANS_INIT, iters=_KMEANS_ITERS)
+        .select(
+            "cent_id",
+            F.col("centroid").alias("cq"),
+            similarity.dot_expr(F.col("centroid"), F.col("centroid")).alias("cn"),
+        )
+    )
+    return similarity.ivf_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, nprobe=4, centroids=cents
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    ctes, final = _kmeans_ctes(_KMEANS_INIT, _KMEANS_ITERS)
+    ctes.append(
+        f"""cents AS (
+  SELECT cent_id, cq, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn FROM {final}
+)"""
+    )
+    ctes.append(
+        """inv AS (
+  SELECT vec_id, qv, norm2, cent_id FROM (
+    SELECT c.vec_id, c.qv, c.norm2, ce.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY CAST(list_dot_product(c.qv, ce.cq) AS BIGINT)
+                      / sqrt(CAST(c.norm2 * ce.cn AS DOUBLE)) DESC, ce.cent_id) AS r
+    FROM (SELECT * FROM n2 WHERE vec_id NOT IN (0,1,2,3,4)) c CROSS JOIN cents ce
+  ) WHERE r = 1
+)"""
+    )
+    ctes.append(
+        """probes AS (
+  SELECT query_id, qq, qn, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.qv AS qq, q.norm2 AS qn, ce.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_dot_product(q.qv, ce.cq) AS BIGINT)
+                      / sqrt(CAST(q.norm2 * ce.cn AS DOUBLE)) DESC, ce.cent_id) AS r
+    FROM (SELECT * FROM n2 WHERE vec_id IN (0,1,2,3,4)) q CROSS JOIN cents ce
+  ) WHERE r <= 4
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT p.query_id, i.vec_id AS neighbor_id,
+         CAST(list_dot_product(i.qv, p.qq) AS BIGINT)
+           / sqrt(CAST(i.norm2 * p.qn AS DOUBLE)) AS score,
+         CAST(row_number() OVER (PARTITION BY p.query_id
+           ORDER BY CAST(list_dot_product(i.qv, p.qq) AS BIGINT)
+                    / sqrt(CAST(i.norm2 * p.qn AS DOUBLE)) DESC, i.vec_id) AS INT) AS rank
+  FROM inv i JOIN probes p ON i.cent_id = p.cent_id
+) WHERE rank <= 10
+"""
+    )
+
+
+SQL_ANN_IVF_KMEANS = _ivf_kmeans_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -562,6 +638,7 @@ EXT2_QUERIES: dict[str, tuple] = {
     "grid_attribute_map": (q_grid_attribute_map, SQL_GRID_ATTRIBUTE_MAP),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_kmeans_centroids": (q_ann_kmeans_centroids, SQL_ANN_KMEANS),
+    "ann_ivf_kmeans_topk": (q_ann_ivf_kmeans_topk, SQL_ANN_IVF_KMEANS),
     "filter_junk_rows": (q_filter_junk_rows, SQL_FILTER_JUNK),
     "join_scalar_subquery": (q_join_scalar_subquery, SQL_JOIN_SCALAR_SUBQ),
     "agg_global_scalars": (q_agg_global_scalars, SQL_AGG_GLOBAL),

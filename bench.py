@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "ann_ivf_kmeans_topk",
     "join_entity_cascade",
     "scalar_dates",
     "ann_brute_topk",

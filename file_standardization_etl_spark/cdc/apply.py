@@ -112,6 +112,9 @@ class CdcEngine:
         self.spark = spark
         self.table_path = os.path.abspath(table_path)
         self.quarantine_path = os.path.join(self.table_path, "quarantine")
+        self.quarantine_archive_path = os.path.join(
+            self.table_path, "quarantine_archive"
+        )
         self.manifest_dir = os.path.join(self.table_path, "_manifest")
         self.whitelist = list(whitelist or SOURCE_WHITELIST)
         self.validation_mode = validation_mode
@@ -162,6 +165,14 @@ class CdcEngine:
             df = df.filter(~F.coalesce(F.col(n[FID_DELETED]), F.lit(False)))
         return df
 
+    def _quarantine_schema(self) -> T.StructType:
+        return (
+            T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "schema_change"])
+            .add("reason", T.StringType())
+            .add("batch_id", T.LongType())
+            .add("chunk", T.IntegerType())
+        )
+
     def quarantine(self) -> DataFrame:
         # Existence-gated like the staging reads (ADVICE r1): an absent
         # tree means "nothing quarantined yet"; a real read failure on an
@@ -169,16 +180,62 @@ class CdcEngine:
         # uses the explicit quarantine schema so a crash-recovery state
         # where the tree exists but holds no parquet yet (finalize died
         # between makedirs and rename) yields the typed empty frame
-        # instead of an UNABLE_TO_INFER_SCHEMA error.
-        schema = (
-            T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "schema_change"])
-            .add("reason", T.StringType())
-            .add("batch_id", T.LongType())
-            .add("chunk", T.IntegerType())
-        )
+        # instead of an UNABLE_TO_INFER_SCHEMA error. Content = archive
+        # (compacted history) ∪ live per-(batch, chunk) tree.
+        schema = self._quarantine_schema()
+        parts = []
+        if os.path.isdir(self.quarantine_archive_path):
+            parts.append(
+                self.spark.read.schema(schema).parquet(self.quarantine_archive_path)
+            )
         if os.path.isdir(self.quarantine_path):
-            return self.spark.read.schema(schema).parquet(self.quarantine_path)
-        return self.spark.createDataFrame([], schema)
+            parts.append(self.spark.read.schema(schema).parquet(self.quarantine_path))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact_quarantine(self) -> int:
+        """Fold the per-(batch, chunk) quarantine partition tree into the
+        consolidated archive (plain parquet, batch_id/chunk as ordinary
+        columns) and clear the tree.
+
+        Why: the tree gains one directory per (batch, chunk) — the unit
+        of idempotent redelivery replacement — which is exactly right for
+        LIVE batches and exactly wrong at 10⁵ applied batches (partition
+        discovery cost, small files). Compaction is safe for everything
+        below the applied-LSN watermark, i.e. all of it: a redelivered
+        old batch is fully LSN-filtered before the quarantine path runs,
+        so nothing can ever rewrite those directories again.
+
+        Crash-idempotent without a transaction log: rows are appended to
+        the archive MINUS an anti-join on ``lsn`` against what the
+        archive already holds (LSNs are unique), so a crash anywhere —
+        mid-append, or between append and tree removal — re-runs to the
+        same final state with no loss and no duplicates.
+
+        Returns the number of rows archived this call. ``quarantine()``
+        reads archive ∪ live tree, so callers never notice a compaction
+        ran.
+        """
+        if not os.path.isdir(self.quarantine_path):
+            return 0
+        schema = self._quarantine_schema()
+        live = self.spark.read.schema(schema).parquet(self.quarantine_path)
+        if os.path.isdir(self.quarantine_archive_path):
+            archived = self.spark.read.schema(schema).parquet(
+                self.quarantine_archive_path
+            )
+            live = live.join(archived.select("lsn"), "lsn", "left_anti")
+        # column order back to schema order (join moved lsn first)
+        live = live.select(*[f.name for f in schema.fields])
+        n = live.count()
+        if n:
+            live.write.mode("append").parquet(self.quarantine_archive_path)
+        shutil.rmtree(self.quarantine_path)
+        return n
 
     def manifest(self) -> list[dict]:
         out = []

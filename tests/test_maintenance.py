@@ -169,3 +169,42 @@ def test_expire_snapshots_gc_and_orphans(spark, tmp_path):
     # ingest continues after GC
     engine.apply_batch(events_df(spark, [e for e in events if e["lsn"] > engine.applied_lsn()]),
                        batch_id=99)
+
+
+def test_compact_quarantine_archives_and_stays_idempotent(spark, tmp_path):
+    """Quarantine-tree compaction: per-(batch,chunk) dirs fold into the
+    archive; quarantine() content is unchanged; re-running compaction (the
+    crash-recovery path) adds nothing; later batches still quarantine."""
+    import os
+
+    cfg = EventGenConfig(n_events=2000, n_docs=100, seed=47, corrupt_frac=0.1)
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    first = [e for e in events if e["lsn"] <= 1000]
+    second = [e for e in events if e["lsn"] > 1000]
+    engine.apply_batch(events_df(spark, first), batch_id=0)
+
+    before = {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()}
+    assert before
+
+    n1 = engine.compact_quarantine()
+    assert n1 == len(before)
+    assert not os.path.isdir(engine.quarantine_path)
+    assert {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()} == before
+
+    # crash-recovery semantics: compaction is a no-op when nothing is live
+    assert engine.compact_quarantine() == 0
+    # simulate the 'appended but tree not yet removed' crash: re-present
+    # the already-archived rows as a live tree — the anti-join must
+    # archive zero and still clear the tree
+    engine.apply_batch(events_df(spark, second), batch_id=1)
+    mid = {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()}
+    assert len(mid) > len(before)
+    n2 = engine.compact_quarantine()
+    assert n2 == len(mid) - len(before)
+    assert engine.compact_quarantine() == 0
+    assert {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()} == mid
+
+    oracle = replay(events)
+    assert len(mid) == len(oracle.quarantine)

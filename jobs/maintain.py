@@ -1,0 +1,70 @@
+"""spark-submit maintenance entrypoint for a long-running CDC table.
+
+The write path never deletes or reorganizes (that is what keeps commits
+atomic and micro-batches fast); this job is where the periodic
+housekeeping runs, typically off-peak::
+
+    spark-submit --py-files dist/engine.zip jobs/maintain.py \
+        --table-dir s3a://bucket/lake \
+        [--compact] [--expire-tombstones] \
+        [--rebucket N] [--expire-snapshots KEEP] [--compact-quarantine]
+
+Every op is independently safe: compaction/rebucket are single atomic
+snapshot swaps, snapshot GC only deletes below the retention horizon,
+and quarantine compaction is crash-idempotent (lsn anti-join).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table-dir", required=True)
+    ap.add_argument("--compact", action="store_true",
+                    help="rewrite all buckets under the current schema version")
+    ap.add_argument("--expire-tombstones", action="store_true",
+                    help="with --compact: drop tombstones below the applied watermark")
+    ap.add_argument("--rebucket", type=int, default=0,
+                    help="migrate to this hash-bucket count (atomic layout swap)")
+    ap.add_argument("--expire-snapshots", type=int, default=0,
+                    help="keep only the N most recent snapshots; GC data dirs + orphans")
+    ap.add_argument("--compact-quarantine", action="store_true",
+                    help="fold per-batch quarantine dirs into the consolidated archive")
+    args = ap.parse_args()
+
+    from file_standardization_etl_spark.cdc.apply import CdcEngine
+    from file_standardization_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc-maintain")
+    engine = CdcEngine(spark, args.table_dir)
+    if not engine.table.exists():
+        raise SystemExit(f"no table at {args.table_dir}")
+
+    report: dict = {"table": args.table_dir, "version_before": engine.table.current_version()}
+    if args.rebucket:
+        engine.table.rebucket(args.rebucket)
+        report["rebucketed_to"] = args.rebucket
+    if args.compact:
+        wm = engine.applied_lsn() + 1 if args.expire_tombstones else None
+        engine.table.compact(expire_tombstones_below_lsn=wm)
+        report["compacted"] = True
+        report["tombstones_expired_below"] = wm
+    if args.compact_quarantine:
+        report["quarantine_rows_archived"] = engine.compact_quarantine()
+    if args.expire_snapshots:
+        report["gc"] = engine.table.expire_snapshots(keep_last=args.expire_snapshots)
+    report["version_after"] = engine.table.current_version()
+    report["history_tail"] = engine.table.history()[-3:]
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -183,19 +183,25 @@ class CdcEngine:
         # instead of an UNABLE_TO_INFER_SCHEMA error. Content = archive
         # (compacted history) ∪ live per-(batch, chunk) tree.
         schema = self._quarantine_schema()
-        parts = []
+        cols = [f.name for f in schema.fields]
+        archive = live = None
         if os.path.isdir(self.quarantine_archive_path):
-            parts.append(
-                self.spark.read.schema(schema).parquet(self.quarantine_archive_path)
+            archive = self.spark.read.schema(schema).parquet(
+                self.quarantine_archive_path
             )
         if os.path.isdir(self.quarantine_path):
-            parts.append(self.spark.read.schema(schema).parquet(self.quarantine_path))
-        if not parts:
+            live = self.spark.read.schema(schema).parquet(self.quarantine_path)
+        if archive is None and live is None:
             return self.spark.createDataFrame([], schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        if archive is None:
+            return live
+        if live is None:
+            return archive
+        # a compaction crash between archive append and tree removal may
+        # leave rows in both places — the same lsn anti-join compaction
+        # uses keeps the union exactly-once (LSNs are unique)
+        fresh = live.join(archive.select("lsn"), "lsn", "left_anti").select(*cols)
+        return archive.unionByName(fresh)
 
     def compact_quarantine(self) -> int:
         """Fold the per-(batch, chunk) quarantine partition tree into the
@@ -214,16 +220,39 @@ class CdcEngine:
         the archive MINUS an anti-join on ``lsn`` against what the
         archive already holds (LSNs are unique), so a crash anywhere —
         mid-append, or between append and tree removal — re-runs to the
-        same final state with no loss and no duplicates.
+        same final state with no loss and no duplicates (``quarantine()``
+        applies the same anti-join to its union, so even the crash window
+        itself never double-counts).
 
-        Returns the number of rows archived this call. ``quarantine()``
-        reads archive ∪ live tree, so callers never notice a compaction
-        ran.
+        Concurrency-safe against a live ingester: only the batch
+        directories that existed when this call LISTED the tree are read
+        and deleted — a batch quarantined concurrently is untouched and
+        picked up by the next compaction (contrast: a whole-tree rmtree
+        would silently destroy it).
+
+        Single-pass: the row count rides the write via an Observation
+        (staged under an underscore-prefixed dir Spark readers ignore,
+        promoted only when non-empty), instead of a second scan of tree +
+        archive.
+
+        Returns the number of rows archived this call.
         """
         if not os.path.isdir(self.quarantine_path):
             return 0
+        batch_dirs = sorted(
+            d
+            for d in os.listdir(self.quarantine_path)
+            if d.startswith("batch_id=")
+            and os.path.isdir(os.path.join(self.quarantine_path, d))
+        )
+        if not batch_dirs:
+            return 0
         schema = self._quarantine_schema()
-        live = self.spark.read.schema(schema).parquet(self.quarantine_path)
+        live = (
+            self.spark.read.schema(schema)
+            .option("basePath", self.quarantine_path)
+            .parquet(*[os.path.join(self.quarantine_path, d) for d in batch_dirs])
+        )
         if os.path.isdir(self.quarantine_archive_path):
             archived = self.spark.read.schema(schema).parquet(
                 self.quarantine_archive_path
@@ -231,10 +260,26 @@ class CdcEngine:
             live = live.join(archived.select("lsn"), "lsn", "left_anti")
         # column order back to schema order (join moved lsn first)
         live = live.select(*[f.name for f in schema.fields])
-        n = live.count()
+        import uuid as _uuid
+
+        obs = Observation(f"quar-compact-{_uuid.uuid4().hex[:8]}")
+        stage = os.path.join(
+            self.quarantine_archive_path, f"_stage_{_uuid.uuid4().hex[:8]}"
+        )
+        live.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        n = int(obs.get.get("n") or 0)
         if n:
-            live.write.mode("append").parquet(self.quarantine_archive_path)
-        shutil.rmtree(self.quarantine_path)
+            for f in os.listdir(stage):
+                if f.startswith("part-"):
+                    os.rename(
+                        os.path.join(stage, f),
+                        os.path.join(self.quarantine_archive_path, f),
+                    )
+        shutil.rmtree(stage, ignore_errors=True)
+        for d in batch_dirs:
+            shutil.rmtree(os.path.join(self.quarantine_path, d), ignore_errors=True)
         return n
 
     def manifest(self) -> list[dict]:

@@ -137,11 +137,16 @@ class StreamingCdcRunner:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
-            q.stop()
+        finished = q.awaitTermination(timeout_sec)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "WAL drain did not finish within the timeout — the engine "
+                "watermark is consistent (applied batches committed), re-run "
+                "to continue from the checkpoint"
+            )
 
     def start_continuous(self, processing_time: str = "5 seconds"):
         """Continuous tailing; returns the StreamingQuery (caller manages)."""

@@ -102,11 +102,15 @@ def run_windowed_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
+    finished = q.awaitTermination(600)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "drain did not finish within the timeout — the sink holds only a "
+            "prefix; re-run to continue from the checkpoint"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -193,8 +197,12 @@ def run_stateful_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
+    finished = q.awaitTermination(600)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "drain did not finish within the timeout — the sink holds only a "
+            "prefix; re-run to continue from the checkpoint"
+        )

@@ -188,16 +188,33 @@ def test_compact_quarantine_archives_and_stays_idempotent(spark, tmp_path):
     before = {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()}
     assert before
 
+    # save an exact copy of the live tree so the 'appended but tree not
+    # yet removed' crash state can be reconstructed afterwards
+    import shutil
+
+    saved = str(tmp_path / "saved_tree")
+    shutil.copytree(engine.quarantine_path, saved)
+
     n1 = engine.compact_quarantine()
     assert n1 == len(before)
-    assert not os.path.isdir(engine.quarantine_path)
+    assert len(os.listdir(engine.quarantine_path)) == 0 or not os.path.isdir(
+        engine.quarantine_path
+    )
     assert {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()} == before
 
-    # crash-recovery semantics: compaction is a no-op when nothing is live
+    # compaction is a no-op when nothing is live
     assert engine.compact_quarantine() == 0
-    # simulate the 'appended but tree not yet removed' crash: re-present
-    # the already-archived rows as a live tree — the anti-join must
-    # archive zero and still clear the tree
+
+    # CRASH STATE: archive holds the rows AND the original tree is back
+    # (as if the crash hit between append and tree removal). quarantine()
+    # must still count each row exactly once, and re-compaction must
+    # archive zero while clearing the tree.
+    shutil.rmtree(engine.quarantine_path, ignore_errors=True)
+    shutil.copytree(saved, engine.quarantine_path)
+    assert {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()} == before
+    assert engine.compact_quarantine() == 0
+    assert {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()} == before
+
     engine.apply_batch(events_df(spark, second), batch_id=1)
     mid = {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()}
     assert len(mid) > len(before)

@@ -456,6 +456,37 @@ class LakeTable:
             snap["properties"].update(properties_update)
         self._commit(snap, v)
 
+    # ---------- DML (the reference's raw-JDBC UPDATE/DELETE side-channel,
+    # S7, as snapshot-atomic table ops — `spark.sql("UPDATE/DELETE")` on
+    # Iceberg would be the cluster equivalent) ----------
+
+    def delete_where(self, cond: Column) -> None:
+        """Delete rows matching ``cond`` — one read, one bucketed rewrite,
+        one atomic snapshot swap. A general predicate can touch any
+        bucket, so this is a full rewrite by design; key-scoped deletes
+        should go through the CDC delete op instead (bucket-pruned,
+        tombstoned, LSN-guarded)."""
+        self.overwrite(self.read().filter(~F.coalesce(cond, F.lit(False))))
+
+    def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
+        """UPDATE ... SET assignments WHERE cond, snapshot-atomic. Same
+        full-rewrite caveat as :meth:`delete_where`; the CDC path is the
+        scalable route for keyed updates."""
+        names = self.schema().names()
+        unknown = set(assignments) - set(names)
+        if unknown:
+            raise ValueError(f"unknown columns in assignments: {sorted(unknown)}")
+        df = self.read()
+        c = F.coalesce(cond, F.lit(False))
+        updated = df.select(
+            *[
+                (F.when(c, assignments[n]).otherwise(F.col(n)).alias(n)
+                 if n in assignments else F.col(n))
+                for n in names
+            ]
+        )
+        self.overwrite(updated)
+
     # ---------- schema evolution (metadata-only, like Iceberg) ----------
 
     def apply_schema_change(self, change: dict, lsn: int | None = None) -> None:

@@ -194,3 +194,42 @@ def test_failed_commit_leaves_table_unchanged_and_gc_collects(spark, tmp_path):
     assert stats["data_dirs_deleted"] >= 1
     assert len(os.listdir(data_root)) < n_dirs_before
     assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+
+
+def test_dml_delete_and_update_where(spark, tmp_path):
+    """S7 DML surface as snapshot-atomic ops: DELETE WHERE / UPDATE SET
+    WHERE, with null-predicate rows treated as non-matching (SQL
+    three-valued logic)."""
+    from file_standardization_etl_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "string"), ("v", "bigint"), ("tag", "string")],
+        key_column="k", n_buckets=4,
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("b", 2, None), ("c", 3, "y"), ("d", 4, "x")],
+            "k string, v bigint, tag string",
+        )
+    )
+    v0 = t.current_version()
+
+    t.delete_where(F.col("tag") == "x")  # null tag must NOT match
+    assert {(r["k"], r["v"], r["tag"]) for r in t.read().collect()} == {
+        ("b", 2, None), ("c", 3, "y"),
+    }
+    t.update_where(F.col("v") >= 3, {"v": F.col("v") * 10, "tag": F.lit("big")})
+    assert {(r["k"], r["v"], r["tag"]) for r in t.read().collect()} == {
+        ("b", 2, None), ("c", 30, "big"),
+    }
+    # both ops committed atomically as new snapshots; history intact
+    assert t.current_version() == v0 + 2
+    assert {(r["k"], r["v"]) for r in t.read(as_of_version=v0).collect()} == {
+        ("a", 1), ("b", 2), ("c", 3), ("d", 4),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(F.lit(True), {"nope": F.lit(1)})

@@ -1,11 +1,13 @@
-"""Registry tranche 3: the SURVEY.md §2 rows not yet carried by an
-explicit ``queries()`` entry — junk-row filtering (P5/P9, with the P4
-empty-row drop), scalar-subquery routing joins (J4), global scalar
-aggregates (A4/A5) with deterministic top-1 (O3), null-count profiling
-(A7, feeding the P3 empty-column-prune decision), ORDER BY/top-k
-(O1/O2/O3), embedding-cosine near-dup (training-data op roster), and a
-checked CSV source round-trip (S2). Same cross-engine determinism rules
-as queries.py."""
+"""Registry tranche 3: the SURVEY.md §2 rows not carried by tranches 1-2
+— junk-row filtering (P5/P9, with the P4 empty-row drop), scalar-subquery
+routing joins (J4), global scalar aggregates (A4/A5) with deterministic
+top-1 (O3), null-count profiling (A7, feeding the P3 empty-column-prune
+decision), ORDER BY/top-k (O1/O2/O3), a checked CSV source round-trip
+(S2), the Excel positional-grid pipeline (S1/P3/P4) and
+dd_attribute_detail column mapping — plus the training-data extensions:
+LSH-gated embedding-cosine near-dup, IVF ANN, and the exact-integer
+k-means quantizer whose oracle unrolls the same Lloyd iterations in SQL.
+Same cross-engine determinism rules as queries.py."""
 
 from __future__ import annotations
 

@@ -303,6 +303,19 @@ class CdcEngine:
         n = self._names()
         key = n[FID_DOC]
         schema_ver = self.table.schema().version
+        # Wire→table key binding: events always say 'doc_id' (the wire
+        # format is fixed); if a schema_change renamed the TABLE's key
+        # column, merge must see the delta's key under the table name —
+        # its bucket expression and join condition use snapshot
+        # key_column. Payload columns need no rename (resolve() binds
+        # them wire-name → field-id explicitly).
+        if key != "doc_id":
+            if key in delta.columns:
+                raise ValueError(
+                    f"key column renamed to wire-reserved name {key!r}; "
+                    "choose a name not used by the event wire format"
+                )
+            delta = delta.withColumnRenamed("doc_id", key)
 
         def resolve(old: dict, new: dict) -> dict:
             # The merged-row expressions depend only on column NAMES, so
@@ -317,7 +330,8 @@ class CdcEngine:
             )
             is_del = new["op"] == "delete"
             out = {
-                key: F.coalesce(old[key], new["doc_id"]),
+                # delta's key column was bound to the table key name above
+                key: F.coalesce(old[key], new[key]),
                 n[FID_TOKENS]: F.when(
                     take_new, F.when(is_del, F.lit(None)).otherwise(new["tokens"])
                 ).otherwise(old[n[FID_TOKENS]]),

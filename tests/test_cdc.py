@@ -183,3 +183,34 @@ def test_quarantine_reader_tolerates_crashed_empty_tree(spark, tmp_path):
     q = engine.quarantine()
     assert q.count() == 0
     assert "reason" in q.columns and "doc_id" in q.columns
+
+
+def test_rename_key_column_mid_stream(spark, tmp_path):
+    """Renaming the KEY column itself mid-stream: field-id binding must
+    keep ingestion, LWW, bucket pruning, and MERGE working — events keep
+    saying 'doc_id' (their schema is the wire format), the table key
+    becomes 'document_key', and the final state matches the oracle."""
+    cfg = EventGenConfig(
+        n_events=2000,
+        n_docs=120,
+        seed=83,
+        schema_change_lsns=(1000,),
+        schema_changes=({"action": "rename_column", "name": "doc_id",
+                         "new_name": "document_key"},),
+    )
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=8)
+    engine.init()
+    first = [e for e in events if e["lsn"] <= 1200]   # DDL lands inside batch 0
+    second = [e for e in events if e["lsn"] > 1200]
+    engine.apply_batch(events_df(spark, first), batch_id=0)
+    assert engine.table.snapshot()["key_column"] == "document_key"
+    engine.apply_batch(events_df(spark, second), batch_id=1)
+
+    st = engine.state()
+    assert "document_key" in st.columns and "doc_id" not in st.columns
+    got = {r["document_key"]: (list(r["tokens"]), r["last_lsn"]) for r in st.collect()}
+    oracle = replay(events)
+    want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in oracle.live_docs().items()}
+    assert got == want
+    assert engine.quarantine().count() == len(oracle.quarantine)

@@ -214,3 +214,24 @@ def test_rename_key_column_mid_stream(spark, tmp_path):
     want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in oracle.live_docs().items()}
     assert got == want
     assert engine.quarantine().count() == len(oracle.quarantine)
+
+
+def test_widen_tokens_array_mid_stream(spark, tmp_path):
+    """widen_type on the token ARRAY (array<int> -> array<bigint>) while
+    events keep arriving as array<int>: merge's when/otherwise branches
+    must coerce, old files reconcile by cast, and the final state matches
+    the oracle."""
+    cfg = EventGenConfig(
+        n_events=1500, n_docs=80, seed=91,
+        schema_change_lsns=(700,),
+        schema_changes=({"action": "widen_type", "name": "tokens",
+                         "type": "array<bigint>"},),
+    )
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    engine.apply_batch(events_df(spark, [e for e in events if e["lsn"] <= 800]), batch_id=0)
+    engine.apply_batch(events_df(spark, [e for e in events if e["lsn"] > 800]), batch_id=1)
+    got = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine.state().collect()}
+    want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in replay(events).live_docs().items()}
+    assert got == want

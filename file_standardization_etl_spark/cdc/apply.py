@@ -51,6 +51,14 @@ from .events import EVENT_SCHEMA, SOURCE_WHITELIST
 
 QUARANTINE_REASONS = ["null_tokens", "empty_tokens", "bad_n_tok", "bad_source"]
 
+# Table-column names a rename_column may NOT target: the event wire
+# format's field names plus the engine's internal columns. A table column
+# renamed onto one of these would collide with delta/staging columns in
+# the merge — and by then the DDL would already be committed with the
+# watermark advanced past it, wedging the stream. Rejected at DDL
+# application time instead (apply_batch), before anything commits.
+WIRE_RESERVED = frozenset(f.name for f in EVENT_SCHEMA.fields) | {"route", "_bucket"}
+
 # stable column ids in the target table (order passed to LakeTable.create)
 FID_DOC, FID_TOKENS, FID_NTOK, FID_SOURCE, FID_LSN, FID_DELETED = 1, 2, 3, 4, 5, 6
 
@@ -185,12 +193,16 @@ class CdcEngine:
         schema = self._quarantine_schema()
         cols = [f.name for f in schema.fields]
         archive = live = None
+        # live tree first, archive second: a compaction finishing between
+        # the two checks then moves rows INTO a side we still look at —
+        # the reverse order could miss the archive entirely (rows moved
+        # out of a not-yet-read live tree into a not-checked archive)
+        if os.path.isdir(self.quarantine_path):
+            live = self.spark.read.schema(schema).parquet(self.quarantine_path)
         if os.path.isdir(self.quarantine_archive_path):
             archive = self.spark.read.schema(schema).parquet(
                 self.quarantine_archive_path
             )
-        if os.path.isdir(self.quarantine_path):
-            live = self.spark.read.schema(schema).parquet(self.quarantine_path)
         if archive is None and live is None:
             return self.spark.createDataFrame([], schema)
         if archive is None:
@@ -224,34 +236,50 @@ class CdcEngine:
         applies the same anti-join to its union, so even the crash window
         itself never double-counts).
 
-        Concurrency-safe against a live ingester: only the batch
-        directories that existed when this call LISTED the tree are read
-        and deleted — a batch quarantined concurrently is untouched and
-        picked up by the next compaction (contrast: a whole-tree rmtree
-        would silently destroy it).
+        Concurrency-safe against a live ingester at CHUNK granularity:
+        only the (batch, chunk) directories that existed when this call
+        LISTED the tree are read and deleted. A chunk dir is the unit the
+        ingester creates atomically (stage-then-rename in
+        _finalize_quarantine), so a chunk finalized concurrently — even
+        into an already-listed batch dir — is untouched and picked up by
+        the next compaction. Batch dirs are removed only once empty.
 
         Single-pass: the row count rides the write via an Observation
         (staged under an underscore-prefixed dir Spark readers ignore,
-        promoted only when non-empty), instead of a second scan of tree +
-        archive.
+        promoted only when non-empty; leftover stages from crashed runs
+        are swept on entry), instead of a second scan of tree + archive.
 
         Returns the number of rows archived this call.
         """
+        import uuid as _uuid
+
+        # sweep stage dirs a crashed run left behind (their rows are
+        # either fully promoted already or still in the live tree)
+        if os.path.isdir(self.quarantine_archive_path):
+            for d in os.listdir(self.quarantine_archive_path):
+                if d.startswith("_stage_"):
+                    shutil.rmtree(
+                        os.path.join(self.quarantine_archive_path, d),
+                        ignore_errors=True,
+                    )
         if not os.path.isdir(self.quarantine_path):
             return 0
-        batch_dirs = sorted(
-            d
-            for d in os.listdir(self.quarantine_path)
-            if d.startswith("batch_id=")
-            and os.path.isdir(os.path.join(self.quarantine_path, d))
-        )
-        if not batch_dirs:
+        chunk_dirs: list[str] = []
+        for b in sorted(os.listdir(self.quarantine_path)):
+            bdir = os.path.join(self.quarantine_path, b)
+            if not (b.startswith("batch_id=") and os.path.isdir(bdir)):
+                continue
+            for c in sorted(os.listdir(bdir)):
+                cdir = os.path.join(bdir, c)
+                if c.startswith("chunk=") and os.path.isdir(cdir):
+                    chunk_dirs.append(cdir)
+        if not chunk_dirs:
             return 0
         schema = self._quarantine_schema()
         live = (
             self.spark.read.schema(schema)
             .option("basePath", self.quarantine_path)
-            .parquet(*[os.path.join(self.quarantine_path, d) for d in batch_dirs])
+            .parquet(*chunk_dirs)
         )
         if os.path.isdir(self.quarantine_archive_path):
             archived = self.spark.read.schema(schema).parquet(
@@ -260,7 +288,6 @@ class CdcEngine:
             live = live.join(archived.select("lsn"), "lsn", "left_anti")
         # column order back to schema order (join moved lsn first)
         live = live.select(*[f.name for f in schema.fields])
-        import uuid as _uuid
 
         obs = Observation(f"quar-compact-{_uuid.uuid4().hex[:8]}")
         stage = os.path.join(
@@ -278,8 +305,12 @@ class CdcEngine:
                         os.path.join(self.quarantine_archive_path, f),
                     )
         shutil.rmtree(stage, ignore_errors=True)
-        for d in batch_dirs:
-            shutil.rmtree(os.path.join(self.quarantine_path, d), ignore_errors=True)
+        for cdir in chunk_dirs:
+            shutil.rmtree(cdir, ignore_errors=True)
+            try:
+                os.rmdir(os.path.dirname(cdir))  # batch dir, only if empty
+            except OSError:
+                pass
         return n
 
     def manifest(self) -> list[dict]:
@@ -659,6 +690,21 @@ class CdcEngine:
             _mark("quarantine_join")
 
             if change is not None:
+                # reject stream-wedging DDL BEFORE anything commits: a
+                # rename onto a wire-reserved name would only explode at
+                # the NEXT chunk's merge, with the watermark already past
+                # the DDL and no way to re-filter it (conservative: all
+                # wire names are reserved, though only the key is truly
+                # load-bearing)
+                if (
+                    change.get("action") == "rename_column"
+                    and change.get("new_name") in WIRE_RESERVED
+                ):
+                    raise ValueError(
+                        f"rename_column onto wire-reserved name "
+                        f"{change.get('new_name')!r} rejected (would collide "
+                        "with the event wire format at merge time)"
+                    )
                 self.table.apply_schema_change(change, lsn=hi)
                 applied = max(applied, hi)
                 # DDL advances the watermark too (oracle parity)

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--compact-quarantine", action="store_true",
                     help="fold per-batch quarantine dirs into the consolidated archive")
     args = ap.parse_args()
+    if args.expire_tombstones and not args.compact:
+        ap.error("--expire-tombstones only acts during --compact; pass both")
 
     from file_standardization_etl_spark.cdc.apply import CdcEngine
     from file_standardization_etl_spark.session import get_spark

@@ -235,3 +235,26 @@ def test_widen_tokens_array_mid_stream(spark, tmp_path):
     got = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine.state().collect()}
     want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in replay(events).live_docs().items()}
     assert got == want
+
+
+def test_rename_onto_wire_reserved_name_rejected_before_commit(spark, tmp_path):
+    """A rename_column targeting a wire-format name must be rejected AT
+    DDL APPLICATION, before the schema commits or the watermark advances
+    — otherwise the poison DDL wedges every future merge."""
+    import pytest as _pytest
+
+    cfg = EventGenConfig(
+        n_events=600, n_docs=40, seed=97,
+        schema_change_lsns=(300,),
+        schema_changes=({"action": "rename_column", "name": "doc_id",
+                         "new_name": "op"},),
+    )
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    with _pytest.raises(ValueError, match="wire-reserved"):
+        engine.apply_batch(events_df(spark, events), batch_id=0)
+    # the schema did NOT change and data events before the DDL applied
+    assert engine.table.snapshot()["key_column"] == "doc_id"
+    assert engine.table.schema().version == 1
+    assert 0 < engine.applied_lsn() < 300

@@ -197,7 +197,7 @@ def test_compact_quarantine_archives_and_stays_idempotent(spark, tmp_path):
 
     n1 = engine.compact_quarantine()
     assert n1 == len(before)
-    assert len(os.listdir(engine.quarantine_path)) == 0 or not os.path.isdir(
+    assert not os.path.isdir(engine.quarantine_path) or not os.listdir(
         engine.quarantine_path
     )
     assert {(r["lsn"], r["reason"]) for r in engine.quarantine().collect()} == before

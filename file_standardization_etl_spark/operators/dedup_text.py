@@ -21,7 +21,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WORDS = "split(text, ' ')"
@@ -99,17 +99,25 @@ def minhash_lsh_candidates(
     pairs. ``max_bucket`` caps that: over-cap buckets are dropped entirely
     (a bucket holding a measurable fraction of the corpus is a degenerate
     hash, not a dup cluster). The DuckDB oracle applies the identical cap.
-    Residual risk: the cap filters AFTER aggregation, so the degenerate
-    bucket's doc list still transits one agg buffer (linear, not
-    quadratic — survivable); a corpus known to be adversarial would
-    pre-filter with a narrow count aggregate at the price of a second
-    signature pass.
+
+    The cap is enforced BEFORE any doc list materializes (round-2 residual
+    fixed): a window ``count`` over (band, sig) tags every signature row
+    with its bucket size in O(1) buffer per row, the over-cap/singleton
+    rows are filtered, and only then does ``collect_list`` build pair
+    lists. The window shuffles by the same (band, sig) keys the
+    aggregation needs, so Catalyst reuses the partitioning — one md5
+    signature pass, one shuffle, and a 10⁹-doc degenerate bucket streams
+    through a sort (spillable) instead of one aggregation buffer. The
+    alternative (narrow count agg + anti-join) costs a second signature
+    pass; this costs a per-partition sort of narrow rows — cheaper.
     """
     sigs = minhash_band_signatures(docs, n_bands, shingle_n)
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
     buckets = (
-        sigs.groupBy("band", "sig")
+        sigs.withColumn("n", bucket_n)
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
     )
     return (
         buckets.select(F.explode("ds").alias("doc_a"), "ds")

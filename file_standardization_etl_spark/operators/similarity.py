@@ -152,13 +152,18 @@ def kmeans_integer(
     floating-point averaging anywhere, so Spark and the DuckDB oracle
     (same iterations unrolled in SQL) converge to IDENTICAL centroids.
 
-    Plan shape per iteration (the 100 TB story): one broadcast of k tiny
-    centroid rows against the corpus, one ``min(struct(dist, cid, q))``
-    hash aggregate per vector (map-side combined), one posexplode +
-    (cluster, pos) sum — all linear scans, no shuffle wider than
-    k × dims. Iterations are Spark-side only (no driver collect between
-    supersteps). A cluster that loses all members drops out, same in
-    both engines.
+    Plan shape per iteration (the 100 TB story): the k centroids fold
+    into ONE broadcast row holding an array<struct>, and the assignment
+    is a pure row-local expression — ``array_min(transform(cents, c ->
+    struct(dist, cent_id)))`` — so the corpus is never exploded to
+    |corpus|·k rows and the argmin needs NO aggregate (round 2 used
+    ``min(struct(dist, cid, q))`` which planned as Sort+SortAggregate
+    per iteration; this keeps the whole assignment inside one
+    whole-stage-codegen project). The only shuffle per iteration is the
+    posexplode + (cluster, pos) primitive-sum HashAggregate, never wider
+    than k × dims. Iterations are Spark-side only (no driver collect
+    between supersteps). A cluster that loses all members drops out,
+    same in both engines.
 
     Returns (cent_id, n_members, centroid: array<long>) for the final
     iteration's assignment.
@@ -168,15 +173,25 @@ def kmeans_integer(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("norm2").alias("cn")
     )
     for _ in range(iters):
-        scored = base.join(F.broadcast(cents)).withColumn(
-            "dist",
-            F.col("norm2") - 2 * dot_expr(F.col("q"), F.col("cq")) + F.col("cn"),
+        # k rows -> one broadcast row of array<struct(cent_id, cq, cn)>
+        carr = cents.agg(F.collect_list(F.struct("cent_id", "cq", "cn")).alias("cents"))
+        # lexicographic struct min == (min dist, then min cent_id) — the
+        # identical tie-break the DuckDB oracle's row_number ORDER BY uses
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (
+                        F.col("norm2") - 2 * dot_expr(F.col("q"), c["cq"]) + c["cn"]
+                    ).alias("dist"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
         )
-        best = scored.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cent_id", "q")).alias("b")
-        )
-        assigned = best.select(
-            F.col("b.cent_id").alias("cent_id"), F.col("b.q").alias("q")
+        assigned = (
+            base.join(F.broadcast(carr))
+            .select(best.alias("b"), "q")
+            .select(F.col("b.cent_id").alias("cent_id"), "q")
         )
         sums = (
             assigned.select("cent_id", F.posexplode("q").alias("pos", "v"))

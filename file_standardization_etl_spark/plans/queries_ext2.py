@@ -297,9 +297,17 @@ def q_ann_kmeans_centroids(spark, sf_dir):
     iterations in SQL and must converge to bitwise-identical centroids
     and memberships, because assignment distances, tie-breaks, and the
     centroid update (elementwise integer floor-division of integer sums)
-    contain no floating point at all."""
-    return similarity.kmeans_integer(
-        load(spark, sf_dir, "embeddings"), init_ids=_KMEANS_INIT, iters=_KMEANS_ITERS
+    contain no floating point at all.
+
+    Output is posexploded to scalar rows (cent_id, n_members, pos,
+    value) — the driver's canonicalizer sorts columns with pandas, which
+    cannot order an ``array<long>`` cell (round-2 red row), and scalar
+    rows make the bitwise comparison strictly finer-grained anyway."""
+    return (
+        similarity.kmeans_integer(
+            load(spark, sf_dir, "embeddings"), init_ids=_KMEANS_INIT, iters=_KMEANS_ITERS
+        )
+        .select("cent_id", "n_members", F.posexplode("centroid").alias("pos", "value"))
     )
 
 
@@ -346,10 +354,13 @@ def _kmeans_ctes(init_ids: list[int], iters: int, dims: int = 64) -> tuple[list[
 
 
 def _kmeans_sql(init_ids: list[int], iters: int, dims: int = 64) -> str:
+    # unrolled to scalar (cent_id, n_members, pos, value) rows — matches
+    # the posexploded Spark output (pos is 0-based like posexplode)
     ctes, final = _kmeans_ctes(init_ids, iters, dims)
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT cent_id, n_members, cq AS centroid FROM {final}"
+        + f"\nSELECT cent_id, n_members, CAST(i - 1 AS INT) AS pos,"
+        f" CAST(cq[i] AS BIGINT) AS value FROM {final}, range(1, {dims + 1}) t(i)"
     )
 
 

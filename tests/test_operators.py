@@ -123,3 +123,34 @@ def test_ivf_topk_consistent_with_bruteforce(spark, emb):
             assert brute[key] == r["score"]  # exact same IEEE value
             common += 1
     assert common > 0  # probing must recover some true near neighbors
+
+
+def test_minhash_degenerate_bucket_never_materializes(spark):
+    """A 1M-doc corpus where EVERY doc shares one signature (identical
+    text): with the round-2 post-agg cap this materialized a 1M-element
+    list in one aggregation buffer before being dropped; the window-count
+    pre-filter drops the rows before any list is built. The op must
+    return zero pairs (degenerate bucket, not a dup cluster) and not
+    blow an aggregation buffer doing so. A small mixed-in set of real
+    duplicate groups must still pair up through the same plan."""
+    n = 1_000_000
+    degenerate = spark.range(n).select(
+        F.concat(F.lit("deg_"), F.col("id")).alias("doc_id"),
+        F.lit("the same tiny document text").alias("text"),
+    )
+    # 5 genuine dup groups of 3 docs each; every word carries the group
+    # id so no shingle is shared ACROSS groups (within a group the text
+    # is identical -> guaranteed same signatures)
+    g = (F.col("id") % 5).cast("string")
+    word = lambda w: F.concat(F.lit(w), g)  # noqa: E731
+    genuine = spark.range(15).select(
+        F.concat(F.lit("dup_"), F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ", word("alpha"), word("beta"), word("gamma"), word("delta"), word("eps")
+        ).alias("text"),
+    )
+    pairs = dedup_text.minhash_lsh_candidates(
+        degenerate.unionByName(genuine), max_bucket=1024
+    ).collect()
+    assert all(r["doc_a"].startswith("dup_") for r in pairs)
+    assert len(pairs) == 5 * 3  # C(3,2)=3 pairs per group x 5 groups

@@ -53,6 +53,7 @@ AUDIT = {
     "scalar_dates": ["Project"],  # 54-format coalesce stays one codegen project
     "dedup_simhash_pairs": ["HashAggregate"],
     "ann_kmeans_centroids": ["HashAggregate"],
+    "ann_ivf_kmeans_topk": ["HashAggregate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -66,6 +67,12 @@ PER_QUERY_FORBIDDEN = {
     "dedup_embedding_cosine": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "dedup_minhash_lsh": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "dedup_simhash_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # Lloyd assignment is a row-local expression argmin; a SortAggregate
+    # reappearing would mean the per-iteration sort regression came back
+    # (VERDICT r2 #3). The k-row centroid fold + posexplode sums must
+    # stay hash-aggregated.
+    "ann_kmeans_centroids": ["SortAggregate"],
+    "ann_ivf_kmeans_topk": ["SortAggregate"],
 }
 
 

@@ -155,6 +155,16 @@ class CdcEngine:
                 properties={"max_applied_lsn": 0, "last_batch_id": -1},
             )
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # sweep staging leftovers from a crashed run: routed b{B}_c{C}
+        # dirs are replaced on redelivery anyway, but a quar_b{B}_c{C}
+        # that crashed between write and rename is never revisited
+        # (redelivery is LSN-filtered past finalize) — without this it
+        # leaks disk forever. Safe here: ingest is single-writer and this
+        # engine has not started its own staging yet.
+        stg = os.path.join(self.table_path, "_staging")
+        if os.path.isdir(stg):
+            for d in os.listdir(stg):
+                shutil.rmtree(os.path.join(stg, d), ignore_errors=True)
 
     def applied_lsn(self) -> int:
         return int(self.table.properties().get("max_applied_lsn", 0))
@@ -330,6 +340,7 @@ class CdcEngine:
         watermark: int,
         batch_id: int,
         affected_buckets: list[int] | None = None,
+        delta_bytes: int | None = None,
     ) -> None:
         n = self._names()
         key = n[FID_DOC]
@@ -390,6 +401,7 @@ class CdcEngine:
             properties_update={"max_applied_lsn": watermark, "last_batch_id": batch_id},
             delta_rows=delta_rows,
             affected_buckets=affected_buckets,
+            delta_bytes=delta_bytes,
         )
 
     # ---------- apply one micro-batch ----------
@@ -643,8 +655,21 @@ class CdcEngine:
                     if (counts.get("n") or 0) > 0 or not os.path.exists(qdir):
                         if os.path.exists(qdir):
                             shutil.rmtree(qdir)
-                        os.makedirs(os.path.dirname(qdir), exist_ok=True)
-                        os.rename(tmp, qdir)
+                        # a concurrent compact_quarantine may rmdir the
+                        # (emptied) batch dir between our makedirs and
+                        # rename — losing the rename would silently drop
+                        # this chunk's quarantine rows forever (redelivery
+                        # is LSN-filtered, so finalize never re-runs).
+                        # Retry the pair; compaction empties a batch dir
+                        # at most once per listed chunk, so this settles.
+                        for attempt in range(10):
+                            os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                            try:
+                                os.rename(tmp, qdir)
+                                break
+                            except FileNotFoundError:
+                                if attempt == 9:
+                                    raise
                     else:
                         shutil.rmtree(tmp, ignore_errors=True)
                     return counts
@@ -659,8 +684,10 @@ class CdcEngine:
                 # watermark would permanently drop every valid row in
                 # the chunk with no retry possible.
                 ddir = os.path.join(staging, "route=d")
+                delta_bytes = None
                 if os.path.isdir(ddir):
                     delta = self.spark.read.parquet(ddir).select(*dedup_cols)
+                    delta_bytes = LakeTable._dir_bytes(ddir)
                 else:
                     delta = self.spark.createDataFrame(
                         [],
@@ -673,7 +700,8 @@ class CdcEngine:
                 # (merge with an empty delta commits properties only)
                 watermark = max(applied, chunk_lsn_max or applied)
                 self._merge_chunk(
-                    delta, n_delta, watermark, batch_id, affected_buckets=affected
+                    delta, n_delta, watermark, batch_id,
+                    affected_buckets=affected, delta_bytes=delta_bytes,
                 )
                 _mark("merge")
                 applied = watermark
@@ -696,14 +724,20 @@ class CdcEngine:
                 # the DDL and no way to re-filter it (conservative: all
                 # wire names are reserved, though only the key is truly
                 # load-bearing)
-                if (
-                    change.get("action") == "rename_column"
-                    and change.get("new_name") in WIRE_RESERVED
-                ):
+                _introduced = {
+                    "rename_column": change.get("new_name"),
+                    "add_column": change.get("name"),
+                }.get(change.get("action"))
+                if _introduced in WIRE_RESERVED:
+                    # add_column is just as dangerous as rename: an added
+                    # '_bucket' would be silently overwritten by
+                    # _write_buckets' withColumn on every merge, 'route'
+                    # by the routed staging write — corruption, not error
                     raise ValueError(
-                        f"rename_column onto wire-reserved name "
-                        f"{change.get('new_name')!r} rejected (would collide "
-                        "with the event wire format at merge time)"
+                        f"{change.get('action')} introducing wire-reserved "
+                        f"name {_introduced!r} rejected (would collide "
+                        "with the event wire format / bucket layout at "
+                        "merge time)"
                     )
                 self.table.apply_schema_change(change, lsn=hi)
                 applied = max(applied, hi)

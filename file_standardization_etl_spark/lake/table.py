@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -265,19 +266,39 @@ class LakeTable:
 
     # ---------- write helpers ----------
 
+    # dynamic-write task sizing: one output task per this many estimated
+    # output bytes (≈ one comfortably-sized parquet file), capped at the
+    # bucket count. A 10k-row micro-batch merge should not pay 64 task
+    # launches + commits to write 2 MB; a 100 TB rewrite still gets the
+    # full n_buckets of parallelism.
+    TARGET_WRITE_BYTES = 64 << 20
+
     def _write_buckets(
-        self, df: DataFrame, version_hint: int, n_buckets: int | None = None
+        self,
+        df: DataFrame,
+        version_hint: int,
+        n_buckets: int | None = None,
+        est_bytes: int | None = None,
     ) -> dict[str, str]:
         """Write df (with ``_bucket`` column) partitioned by bucket; return
-        bucket -> directory map. One shuffle task per bucket → one file per
-        bucket (bounded small-file count at scale). ``n_buckets`` defaults
-        to the current snapshot's (rebucket passes the new layout)."""
+        bucket -> directory map. Hash-repartition on ``_bucket`` keeps every
+        bucket's rows in exactly ONE task → one file per bucket (bounded
+        small-file count at scale); the task COUNT adapts to ``est_bytes``
+        (output-size estimate) so tiny merges don't pay per-task overhead
+        for empty shares. ``n_buckets`` defaults to the current snapshot's
+        (rebucket passes the new layout)."""
         snap_dir = os.path.join(self.path, self.DATA, f"s{version_hint}-{uuid.uuid4().hex[:8]}")
         if n_buckets is None:
             n_buckets = self.snapshot()["n_buckets"]
+        tasks = n_buckets
+        if est_bytes is not None:
+            tasks = max(1, min(n_buckets, -(-est_bytes // self.TARGET_WRITE_BYTES)))
         (
-            df.repartition(n_buckets, "_bucket")
-            .sortWithinPartitions(self.snapshot()["key_column"])
+            df.repartition(tasks, "_bucket")
+            # sort by (_bucket, key): a task holding several buckets writes
+            # each partition dir in one sequential run instead of churning
+            # open files across interleaved buckets
+            .sortWithinPartitions("_bucket", self.snapshot()["key_column"])
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(snap_dir)
@@ -322,6 +343,7 @@ class LakeTable:
         broadcast_threshold_rows: int | None = 2_000_000,
         delta_rows: int | None = None,
         affected_buckets: list[int] | None = None,
+        delta_bytes: int | None = None,
     ) -> None:
         """Bucket-pruned MERGE: join current state of *affected buckets only*
         with ``delta`` on the key and let ``apply_fn(old_cols, new_cols)``
@@ -413,7 +435,18 @@ class LakeTable:
             out = apply_fn(old_cols, new_cols)
             return joined.select(*[expr.alias(name) for name, expr in out.items()])
 
-        if use_broadcast:
+        have_old = any(str(b) in snap["files"] for b in affected)
+        if not have_old:
+            # first load / all-fresh buckets: every delta row is an insert.
+            # Catalyst would fold the joins against the empty LocalRelation
+            # anyway, but skipping them here also skips building the
+            # three-branch plan driver-side (~1 s of Py4J per merge).
+            ins_pref = delta.select(
+                *[F.lit(None).cast(f.dataType).alias(f"__o_{f.name}") for f in old.schema.fields],
+                *[F.col(c).alias(f"__n_{c}") for c in delta.columns],
+            )
+            merged = resolved(ins_pref)
+        elif use_broadcast:
             cond = old_pref[f"__o_{key}"] == new_pref[f"__n_{key}"]
             upserts = resolved(old_pref.join(F.broadcast(new_pref), cond, "left_outer"))
             matched = old.join(
@@ -433,7 +466,18 @@ class LakeTable:
         merged = merged.withColumn("_bucket", bucket_expr(F.col(key), n_buckets))
         _mark("build_plan")
 
-        new_files = self._write_buckets(merged, v + 1)
+        # output-size estimate = existing affected-bucket bytes + delta
+        # bytes (caller-supplied from its staged files, else a row-count
+        # heuristic); sizes the number of write tasks
+        aff_bytes = sum(
+            snap["files"][str(b)].get("bytes", 0)
+            for b in affected
+            if str(b) in snap["files"]
+        )
+        est = aff_bytes + (
+            delta_bytes if delta_bytes is not None else (n or 0) * 512
+        )
+        new_files = self._write_buckets(merged, v + 1, est_bytes=est)
         _mark("write_buckets")
         # Enforce the affected_buckets superset invariant (docstring): if
         # the delta wrote a bucket the caller didn't declare, committing
@@ -501,6 +545,15 @@ class LakeTable:
         cur = TableSchema.from_json(snap["schema"])
         action = change["action"]
         cols = {c.name: c for c in cur.columns}
+        # '_bucket' is the layout partition column _write_buckets injects;
+        # a user column by that name would be silently overwritten with
+        # hash-bucket ids on the next rewrite — reject the DDL instead
+        introduced = {"add_column": change.get("name"),
+                      "rename_column": change.get("new_name")}.get(action)
+        if introduced == "_bucket":
+            raise ValueError(
+                f"{action} introducing reserved layout column '_bucket' rejected"
+            )
         if action == "add_column":
             if change["name"] in cols:
                 raise ValueError(f"column exists: {change['name']}")
@@ -569,7 +622,7 @@ class LakeTable:
         }
         self._commit(snap, v)
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:
         """Metadata + data garbage collection (Iceberg's
         ``expireSnapshots`` + ``deleteOrphanFiles`` in one pass).
 
@@ -585,6 +638,17 @@ class LakeTable:
         design. Single-writer op, like all maintenance here.
 
         Returns ``{"snapshots_deleted": n, "data_dirs_deleted": n}``.
+
+        ``grace_seconds``: an unreferenced data dir younger than this is
+        SKIPPED — a young unreferenced dir is the signature of a
+        concurrent writer's in-flight (written-but-not-yet-committed)
+        output, which this GC must not collect even though the op is
+        documented single-writer (jobs/maintain.py bundles it with
+        quarantine compaction, which IS live-safe, so a combined run
+        against a live ingester must fail safe, not break its commit).
+        Crashed-writer orphans are collected on a later run once they age
+        past the window; pass ``grace_seconds=0`` only with the ingester
+        provably stopped.
         """
         import shutil
 
@@ -615,12 +679,20 @@ class LakeTable:
 
         data_root = os.path.join(self.path, self.DATA)
         dirs_deleted = 0
+        now = time.time()
         if os.path.isdir(data_root):
             for name in list(os.listdir(data_root)):
                 p = os.path.abspath(os.path.join(data_root, name))
-                if p not in referenced:
-                    shutil.rmtree(p, ignore_errors=True)
-                    dirs_deleted += 1
+                if p in referenced:
+                    continue
+                try:
+                    # too young to distinguish from an in-flight commit
+                    if now - os.path.getmtime(p) < grace_seconds:
+                        continue
+                except OSError:
+                    continue  # vanished under us — a writer owns it
+                shutil.rmtree(p, ignore_errors=True)
+                dirs_deleted += 1
         return {"snapshots_deleted": snaps_deleted, "data_dirs_deleted": dirs_deleted}
 
     def compact(self, expire_tombstones_below_lsn: int | None = None) -> None:

@@ -12,6 +12,13 @@ housekeeping runs, typically off-peak::
 Every op is independently safe: compaction/rebucket are single atomic
 snapshot swaps, snapshot GC only deletes below the retention horizon,
 and quarantine compaction is crash-idempotent (lsn anti-join).
+
+Live-safety differs per op: --compact-quarantine may run against a live
+ingester (chunk-granular, stage-then-rename on both sides);
+--expire-snapshots should run with the ingester stopped — if it cannot
+be, the --gc-grace window (default 600 s) is what protects an in-flight
+uncommitted data dir from collection, so do not pass --gc-grace 0 while
+a writer is up.
 """
 
 from __future__ import annotations
@@ -34,7 +41,11 @@ def main():
     ap.add_argument("--rebucket", type=int, default=0,
                     help="migrate to this hash-bucket count (atomic layout swap)")
     ap.add_argument("--expire-snapshots", type=int, default=0,
-                    help="keep only the N most recent snapshots; GC data dirs + orphans")
+                    help="keep only the N most recent snapshots; GC data dirs + orphans "
+                         "(run with the ingester stopped, or rely on --gc-grace)")
+    ap.add_argument("--gc-grace", type=float, default=600.0,
+                    help="skip unreferenced data dirs younger than this many seconds "
+                         "(in-flight-commit protection); 0 only with the ingester stopped")
     ap.add_argument("--compact-quarantine", action="store_true",
                     help="fold per-batch quarantine dirs into the consolidated archive")
     args = ap.parse_args()
@@ -61,7 +72,9 @@ def main():
     if args.compact_quarantine:
         report["quarantine_rows_archived"] = engine.compact_quarantine()
     if args.expire_snapshots:
-        report["gc"] = engine.table.expire_snapshots(keep_last=args.expire_snapshots)
+        report["gc"] = engine.table.expire_snapshots(
+            keep_last=args.expire_snapshots, grace_seconds=args.gc_grace
+        )
     report["version_after"] = engine.table.current_version()
     report["history_tail"] = engine.table.history()[-3:]
     print(json.dumps(report, indent=1))

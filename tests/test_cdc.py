@@ -258,3 +258,51 @@ def test_rename_onto_wire_reserved_name_rejected_before_commit(spark, tmp_path):
     assert engine.table.snapshot()["key_column"] == "doc_id"
     assert engine.table.schema().version == 1
     assert 0 < engine.applied_lsn() < 300
+
+def test_add_column_onto_wire_reserved_name_rejected_before_commit(spark, tmp_path):
+    """An add_column named '_bucket' (or any wire field) is as poisonous
+    as a rename onto one: _write_buckets' withColumn('_bucket', ...)
+    would silently overwrite the added column's data with hash-bucket
+    ids on every merge. It must be rejected at DDL application, before
+    the schema commits — silent corruption is worse than the error the
+    rename path already gets."""
+    import pytest as _pytest
+
+    cfg = EventGenConfig(
+        n_events=600, n_docs=40, seed=98,
+        schema_change_lsns=(300,),
+        schema_changes=({"action": "add_column", "name": "_bucket",
+                         "type": "bigint"},),
+    )
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    with _pytest.raises(ValueError, match="wire-reserved"):
+        engine.apply_batch(events_df(spark, events), batch_id=0)
+    assert engine.table.schema().version == 1
+    assert 0 < engine.applied_lsn() < 300
+
+
+def test_init_sweeps_stale_quarantine_staging(spark, tmp_path):
+    """A crash between the quarantine staging write and its rename leaves
+    _staging/quar_b*_c* forever (redelivery is LSN-filtered past the
+    finalize), so engine init must sweep staging leftovers."""
+    import os
+
+    root = str(tmp_path / "cdc")
+    engine = CdcEngine(spark, root, n_buckets=4)
+    engine.init()
+    stale = os.path.join(root, "_staging", "quar_b0_c0")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "w") as f:
+        f.write("junk")
+    # a fresh engine on the same table (restart after crash) sweeps it
+    engine2 = CdcEngine(spark, root, n_buckets=4)
+    engine2.init()
+    assert not os.path.exists(stale)
+    # ingest proceeds normally afterwards
+    events = generate_events(EventGenConfig(n_events=400, n_docs=30, seed=99))
+    engine2.apply_batch(events_df(spark, events), batch_id=0)
+    got = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine2.state().collect()}
+    want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in replay(events).live_docs().items()}
+    assert got == want

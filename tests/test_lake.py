@@ -190,7 +190,7 @@ def test_failed_commit_leaves_table_unchanged_and_gc_collects(spark, tmp_path):
     # the crashed writer's data dirs are orphans; GC removes them
     data_root = os.path.join(t.path, "data")
     n_dirs_before = len(os.listdir(data_root))
-    stats = t.expire_snapshots(keep_last=10)
+    stats = t.expire_snapshots(keep_last=10, grace_seconds=0.0)
     assert stats["data_dirs_deleted"] >= 1
     assert len(os.listdir(data_root)) < n_dirs_before
     assert {(r["k"], r["v"]) for r in t.read().collect()} == before
@@ -233,3 +233,20 @@ def test_dml_delete_and_update_where(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         t.update_where(F.lit(True), {"nope": F.lit(1)})
+
+def test_lake_level_bucket_column_ddl_rejected(spark, tmp_path):
+    """The lake itself (driven without the CDC engine) rejects DDL that
+    introduces the reserved layout column '_bucket' — add or rename."""
+    import pytest as _pytest
+
+    from file_standardization_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "string"), ("v", "bigint")],
+        key_column="k", n_buckets=2,
+    )
+    with _pytest.raises(ValueError, match="_bucket"):
+        t.apply_schema_change({"action": "add_column", "name": "_bucket", "type": "bigint"})
+    with _pytest.raises(ValueError, match="_bucket"):
+        t.apply_schema_change({"action": "rename_column", "name": "v", "new_name": "_bucket"})
+    assert t.schema().version == 1

@@ -155,8 +155,13 @@ def test_expire_snapshots_gc_and_orphans(spark, tmp_path):
         r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["last_lsn"])
         for r in engine.state(include_deleted=True).collect()
     }
+    # with the default grace window the fresh orphan is indistinguishable
+    # from a concurrent writer's in-flight commit -> preserved
     stats = table.expire_snapshots(keep_last=2)
     assert stats["snapshots_deleted"] >= 1
+    assert os.path.exists(orphan)
+    # ingester-stopped mode (grace 0) collects it
+    stats = table.expire_snapshots(keep_last=2, grace_seconds=0.0)
     assert not os.path.exists(orphan)
     # only the kept snapshot JSONs remain
     metas = [n for n in os.listdir(os.path.join(table.path, "_meta")) if n.endswith(".json")]

@@ -111,6 +111,19 @@ class LakeTable:
 
     META = "_meta"
     DATA = "data"
+    MANIFESTS = "manifests"
+
+    # Manifest chunking (the Iceberg manifest-list shape). A snapshot's
+    # per-bucket file map is stored inline in the snapshot JSON while the
+    # layout is small, but a 10^5-bucket table must not rewrite a
+    # monolithic file list on every commit: above the inline threshold the
+    # map is split into bucket-range chunk files under _meta/manifests/,
+    # referenced from the snapshot by a small manifest list. A merge that
+    # touches buckets in k chunks rewrites exactly k chunk files (plus the
+    # small list) and carries every other chunk forward BY REFERENCE —
+    # commit metadata I/O is O(touched buckets), not O(table buckets).
+    MANIFEST_INLINE_MAX = 128  # bucket layouts at or below stay inline
+    MANIFEST_CHUNK = 512  # buckets per manifest chunk when chunked
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -148,6 +161,109 @@ class LakeTable:
         with os.fdopen(fd, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    # ---------- manifest chunking ----------
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir, self.MANIFESTS, name)
+
+    def _files_load(self, snap: dict, buckets: list[int] | None = None) -> dict:
+        """The snapshot's bucket -> file-entry map. Inline snapshots return
+        it directly; chunked snapshots load only the manifest chunks whose
+        bucket range intersects ``buckets`` (all chunks when None) — a
+        bucket-pruned read of a 10^5-bucket table opens O(touched chunks)
+        manifest files, not the whole list."""
+        if "files" in snap:
+            return snap["files"]
+        chunks = snap.get("manifest_list", [])
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            chunks = [c for c in chunks if any(c["lo"] <= b <= c["hi"] for b in want)]
+        out: dict = {}
+        for c in chunks:
+            with open(self._manifest_path(c["file"])) as f:
+                out.update(json.load(f))
+        return out
+
+    @staticmethod
+    def _entry_bytes(entry: dict) -> int:
+        return entry.get("bytes", 0) + sum(
+            d.get("bytes", 0) for d in entry.get("deltas", [])
+        )
+
+    def _files_replace(
+        self,
+        snap: dict,
+        remove_buckets,
+        add_entries: dict,
+        version_hint: int,
+        replace_all: bool = False,
+        n_buckets: int | None = None,
+    ) -> None:
+        """Mutate ``snap``'s file pointers: drop ``remove_buckets``, then
+        add ``add_entries`` (bucket str -> entry). Layouts at or below
+        ``MANIFEST_INLINE_MAX`` buckets stay inline in the snapshot JSON;
+        larger layouts write bucket-range manifest chunks, rewriting ONLY
+        chunks that intersect the touched buckets and carrying the rest
+        forward by reference (commit metadata I/O ~ touched buckets).
+        ``replace_all`` discards every prior entry (overwrite/rebucket)."""
+        if n_buckets is None:
+            n_buckets = snap["n_buckets"]
+        if n_buckets <= self.MANIFEST_INLINE_MAX:
+            files = {} if replace_all else dict(self._files_load(snap))
+            for b in remove_buckets:
+                files.pop(str(b), None)
+            files.update(add_entries)
+            snap.pop("manifest_list", None)
+            snap["files"] = files
+            return
+        chunk = self.MANIFEST_CHUNK
+        by_cid: dict[int, dict] = {}
+        carried: list[dict] = []
+        if replace_all:
+            touched = {int(b) // chunk for b in add_entries}
+        else:
+            touched = {int(b) // chunk for b in remove_buckets} | {
+                int(b) // chunk for b in add_entries
+            }
+            old_list = snap.get("manifest_list")
+            if old_list is None:
+                # migrating an inline snapshot to chunked: every existing
+                # bucket must land in a chunk
+                for b, e in snap.get("files", {}).items():
+                    by_cid.setdefault(int(b) // chunk, {})[b] = e
+                touched |= set(by_cid)
+            else:
+                for c in old_list:
+                    cid = c["lo"] // chunk
+                    if cid in touched:
+                        with open(self._manifest_path(c["file"])) as f:
+                            by_cid[cid] = json.load(f)
+                    else:
+                        carried.append(c)
+        for b in remove_buckets:
+            by_cid.get(int(b) // chunk, {}).pop(str(b), None)
+        for b, e in add_entries.items():
+            by_cid.setdefault(int(b) // chunk, {})[str(b)] = e
+        os.makedirs(os.path.join(self._meta_dir, self.MANIFESTS), exist_ok=True)
+        new_list = list(carried)
+        for cid in sorted(by_cid):
+            entries = by_cid[cid]
+            if not entries:
+                continue
+            name = f"m{version_hint}-{cid}-{uuid.uuid4().hex[:8]}.json"
+            self._atomic_write(self._manifest_path(name), json.dumps(entries))
+            new_list.append(
+                {
+                    "file": name,
+                    "lo": cid * chunk,
+                    "hi": cid * chunk + chunk - 1,
+                    "n": len(entries),
+                    "bytes": sum(self._entry_bytes(e) for e in entries.values()),
+                }
+            )
+        snap.pop("files", None)
+        snap["manifest_list"] = sorted(new_list, key=lambda c: c["lo"])
 
     def _commit(self, snap: dict, expected_version: int) -> None:
         """Optimistic single-writer commit: snapshot file then pointer swap."""
@@ -204,14 +320,19 @@ class LakeTable:
         for name in sorted(os.listdir(self._meta_dir)):
             if name.startswith("v") and name.endswith(".json"):
                 snap = self.snapshot(int(name[1:-5]))
+                if "files" in snap:
+                    n_files = len(snap["files"])
+                    nbytes = sum(self._entry_bytes(e) for e in snap["files"].values())
+                else:
+                    # chunked: stats ride the manifest list — no chunk reads
+                    n_files = sum(c["n"] for c in snap.get("manifest_list", []))
+                    nbytes = sum(c["bytes"] for c in snap.get("manifest_list", []))
                 out.append(
                     {
                         "version": snap["version"],
                         "schema_version": snap["schema"]["version"],
-                        "n_files": len(snap.get("files", {})),
-                        "bytes": sum(
-                            e.get("bytes", 0) for e in snap.get("files", {}).values()
-                        ),
+                        "n_files": n_files,
+                        "bytes": nbytes,
                         "properties": snap.get("properties", {}),
                     }
                 )
@@ -237,7 +358,7 @@ class LakeTable:
         snap = self.snapshot(as_of_version)
         cur = TableSchema.from_json(snap["schema"])
         groups: dict[int, list[str]] = {}
-        for b, entry in snap["files"].items():
+        for b, entry in self._files_load(snap, buckets).items():
             if buckets is not None and int(b) not in buckets:
                 continue
             groups.setdefault(entry["schema_version"], []).append(entry["path"])
@@ -327,10 +448,16 @@ class LakeTable:
             "_bucket", bucket_expr(F.col(key), snap["n_buckets"])
         )
         new_files = self._write_buckets(withb, v + 1)
-        snap["files"] = {
-            b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
-            for b, p in new_files.items()
-        }
+        self._files_replace(
+            snap,
+            [],
+            {
+                b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
+                for b, p in new_files.items()
+            },
+            v + 1,
+            replace_all=True,
+        )
         self._commit(snap, v)
 
     # ---------- MERGE ----------
@@ -435,7 +562,8 @@ class LakeTable:
             out = apply_fn(old_cols, new_cols)
             return joined.select(*[expr.alias(name) for name, expr in out.items()])
 
-        have_old = any(str(b) in snap["files"] for b in affected)
+        aff_files = self._files_load(snap, affected)
+        have_old = any(str(b) in aff_files for b in affected)
         if not have_old:
             # first load / all-fresh buckets: every delta row is an insert.
             # Catalyst would fold the joins against the empty LocalRelation
@@ -470,9 +598,9 @@ class LakeTable:
         # bytes (caller-supplied from its staged files, else a row-count
         # heuristic); sizes the number of write tasks
         aff_bytes = sum(
-            snap["files"][str(b)].get("bytes", 0)
+            self._entry_bytes(aff_files[str(b)])
             for b in affected
-            if str(b) in snap["files"]
+            if str(b) in aff_files
         )
         est = aff_bytes + (
             delta_bytes if delta_bytes is not None else (n or 0) * 512
@@ -490,12 +618,15 @@ class LakeTable:
                 f"affected_buckets={sorted(affected)} is not a superset — "
                 "aborting before commit to avoid erasing prior rows"
             )
-        files = dict(snap["files"])
-        for b in affected:
-            files.pop(str(b), None)
-        for b, p in new_files.items():
-            files[b] = {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
-        snap["files"] = files
+        self._files_replace(
+            snap,
+            affected,
+            {
+                b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
+                for b, p in new_files.items()
+            },
+            v + 1,
+        )
         if properties_update:
             snap["properties"].update(properties_update)
         self._commit(snap, v)
@@ -616,10 +747,17 @@ class LakeTable:
         )
         new_files = self._write_buckets(withb, v + 1, n_buckets=n_buckets)
         snap["n_buckets"] = n_buckets
-        snap["files"] = {
-            b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
-            for b, p in new_files.items()
-        }
+        self._files_replace(
+            snap,
+            [],
+            {
+                b: {"path": p, "schema_version": cur.version, "bytes": self._dir_bytes(p)}
+                for b, p in new_files.items()
+            },
+            v + 1,
+            replace_all=True,
+            n_buckets=n_buckets,
+        )
         self._commit(snap, v)
 
     def expire_snapshots(self, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:
@@ -637,7 +775,14 @@ class LakeTable:
         orphans too. Time travel below the horizon is gone afterwards, by
         design. Single-writer op, like all maintenance here.
 
-        Returns ``{"snapshots_deleted": n, "data_dirs_deleted": n}``.
+        Chunked-manifest tables get the same treatment at the metadata
+        layer: manifest chunk files under ``_meta/manifests/`` not
+        referenced by any KEPT snapshot's manifest list are deleted too
+        (superseded chunks accumulate one per touched chunk per commit,
+        exactly like superseded bucket dirs).
+
+        Returns ``{"snapshots_deleted": n, "data_dirs_deleted": n,
+        "manifests_deleted": n}``.
 
         ``grace_seconds``: an unreferenced data dir younger than this is
         SKIPPED — a young unreferenced dir is the signature of a
@@ -664,9 +809,16 @@ class LakeTable:
             ver = int(name[1:-5])
             if ver >= keep_from:
                 kept_versions.append(ver)
+        referenced_manifests: set[str] = set()
         for ver in kept_versions:
             snap = self.snapshot(ver)
-            for entry in snap.get("files", {}).values():
+            referenced_manifests.update(
+                c["file"] for c in snap.get("manifest_list", [])
+            )
+            # _files_load, not snap["files"]: a chunked snapshot keeps its
+            # file map in manifest chunks — reading the inline key alone
+            # would see ZERO references and collect every live data dir
+            for entry in self._files_load(snap).values():
                 referenced.add(os.path.dirname(os.path.abspath(entry["path"])))
 
         snaps_deleted = 0
@@ -693,7 +845,29 @@ class LakeTable:
                     continue  # vanished under us — a writer owns it
                 shutil.rmtree(p, ignore_errors=True)
                 dirs_deleted += 1
-        return {"snapshots_deleted": snaps_deleted, "data_dirs_deleted": dirs_deleted}
+
+        # manifest chunk GC — same grace rule: a chunk file is written
+        # BEFORE its commit, so a young unreferenced chunk may belong to
+        # an in-flight writer and must survive this pass
+        manifests_deleted = 0
+        mdir = os.path.join(self._meta_dir, self.MANIFESTS)
+        if os.path.isdir(mdir):
+            for name in list(os.listdir(mdir)):
+                if name in referenced_manifests:
+                    continue
+                p = os.path.join(mdir, name)
+                try:
+                    if now - os.path.getmtime(p) < grace_seconds:
+                        continue
+                    os.remove(p)
+                    manifests_deleted += 1
+                except OSError:
+                    continue
+        return {
+            "snapshots_deleted": snaps_deleted,
+            "data_dirs_deleted": dirs_deleted,
+            "manifests_deleted": manifests_deleted,
+        }
 
     def compact(self, expire_tombstones_below_lsn: int | None = None) -> None:
         """Rewrite all buckets under the current schema version; optionally

@@ -306,3 +306,38 @@ def test_init_sweeps_stale_quarantine_staging(spark, tmp_path):
     got = {r["doc_id"]: (list(r["tokens"]), r["last_lsn"]) for r in engine2.state().collect()}
     want = {k: (list(v["tokens"]), v["last_lsn"]) for k, v in replay(events).live_docs().items()}
     assert got == want
+
+
+def test_replay_over_chunked_manifest_table(spark, tmp_path, monkeypatch):
+    """Full CDC replay (multi-batch, out-of-order, redelivery) against a
+    table whose bucket layout exceeds the inline-manifest threshold: every
+    merge commit goes through the chunked manifest list (only intersecting
+    chunk files rewritten), and the final state still matches the dict
+    oracle bitwise."""
+    import os
+
+    from file_standardization_etl_spark.lake.table import LakeTable
+
+    monkeypatch.setattr(LakeTable, "MANIFEST_INLINE_MAX", 8)
+    monkeypatch.setattr(LakeTable, "MANIFEST_CHUNK", 4)
+    cfg = EventGenConfig(n_events=3000, n_docs=200, seed=23, shuffle_arrival=True)
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path, n_buckets=16)
+    oracle = OracleState()
+    for i, lo in enumerate(range(0, len(events), 1000)):
+        sl = events[lo : lo + 1000]
+        engine.apply_batch(events_df(spark, sl), batch_id=i)
+        if i == 1:  # crash-redelivery mid-stream
+            engine.apply_batch(events_df(spark, sl), batch_id=i)
+        oracle = replay(sl, oracle)
+    snap = engine.table.snapshot()
+    assert "files" not in snap and sum(c["n"] for c in snap["manifest_list"]) <= 16
+    assert_state_matches(engine, oracle)
+    # maintenance over the chunked layout: GC keeps the live state readable
+    stats = engine.table.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    assert stats["snapshots_deleted"] >= 1
+    assert_state_matches(engine, oracle)
+    mdir = os.path.join(engine.table.path, "_meta", "manifests")
+    live = {c["file"] for v in (snap["version"] - 1, snap["version"])
+            for c in engine.table.snapshot(v).get("manifest_list", [])}
+    assert set(os.listdir(mdir)) == live  # orphan chunks collected exactly

@@ -234,6 +234,110 @@ def test_dml_delete_and_update_where(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown columns"):
         t.update_where(F.lit(True), {"nope": F.lit(1)})
 
+def _lww_resolve(old, new):
+    take = new["lsn"].isNotNull() & (old["last_lsn"].isNull() | (new["lsn"] > old["last_lsn"]))
+    return {
+        "doc_id": F.coalesce(old["doc_id"], new["doc_id"]),
+        "v": F.when(take, new["v"]).otherwise(old["v"]),
+        "last_lsn": F.when(take, new["lsn"]).otherwise(old["last_lsn"]),
+        "deleted": F.coalesce(old["deleted"], F.lit(False)),
+    }
+
+
+@pytest.fixture()
+def small_chunks(monkeypatch):
+    """Shrink the manifest thresholds so a 16-bucket table exercises the
+    chunked-manifest layout (4 chunks of 4 buckets) without paying for a
+    real 10^3-bucket write in tests."""
+    monkeypatch.setattr(LakeTable, "MANIFEST_INLINE_MAX", 8)
+    monkeypatch.setattr(LakeTable, "MANIFEST_CHUNK", 4)
+
+
+def test_chunked_manifest_merge_rewrites_only_touched_chunks(
+    spark, tmp_table_dir, small_chunks
+):
+    """High-bucket-count layout: the snapshot stores a manifest LIST, and a
+    merge touching one bucket rewrites only the chunk files whose bucket
+    range intersects it — every other chunk is carried forward BY
+    REFERENCE (same file name), so commit metadata I/O is O(touched)."""
+    t = make(spark, tmp_table_dir, n_buckets=16)
+    seed(spark, t, [(f"d{i}", i, 1, False) for i in range(200)])
+    snap = t.snapshot()
+    assert "files" not in snap and len(snap["manifest_list"]) == 4
+    assert sum(c["n"] for c in snap["manifest_list"]) == 16
+    before = {c["file"] for c in snap["manifest_list"]}
+
+    delta = spark.createDataFrame([("d5", 999, 2)], "doc_id string, v int, lsn long")
+    t.merge(delta, _lww_resolve)
+    after_list = t.snapshot()["manifest_list"]
+    after = {c["file"] for c in after_list}
+    assert len(after - before) == 1  # exactly one chunk rewritten
+    assert len(after & before) == 3  # three carried by reference
+
+    got = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert got["d5"] == 999 and got["d6"] == 6 and len(got) == 200
+    # bucket-pruned read still resolves through the chunked map
+    d5b = [r["doc_id"] for r in t.read(buckets=list(range(16))).collect()]
+    assert len(d5b) == 200
+
+
+def test_chunked_manifest_time_travel_history_and_gc(spark, tmp_table_dir, small_chunks):
+    """history()/time-travel on a chunked table, then expire_snapshots:
+    old snapshot JSONs AND their now-orphaned manifest chunk files are
+    collected while every kept snapshot still reads correctly."""
+    import os
+
+    t = make(spark, tmp_table_dir, n_buckets=16)
+    seed(spark, t, [(f"d{i}", i, 1, False) for i in range(50)])
+    v1 = t.current_version()
+    for lsn, (k, val) in enumerate([("d1", 100), ("d2", 200), ("d3", 300)], start=2):
+        t.merge(
+            spark.createDataFrame([(k, val, lsn)], "doc_id string, v int, lsn long"),
+            _lww_resolve,
+        )
+    v4 = t.current_version()
+    assert v4 == v1 + 3
+    hist = t.history()
+    assert hist[-1]["n_files"] == 16 and hist[-1]["bytes"] > 0
+    then = {r["doc_id"]: r["v"] for r in t.read(as_of_version=v1).collect()}
+    assert then["d1"] == 1 and then["d2"] == 2
+
+    mdir = os.path.join(t.path, "_meta", "manifests")
+    n_manifests_before = len(os.listdir(mdir))
+    stats = t.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    assert stats["snapshots_deleted"] >= 1
+    assert stats["manifests_deleted"] >= 1
+    assert len(os.listdir(mdir)) < n_manifests_before
+    now = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert now["d1"] == 100 and now["d2"] == 200 and now["d3"] == 300 and len(now) == 50
+    prev = {r["doc_id"]: r["v"] for r in t.read(as_of_version=v4 - 1).collect()}
+    assert prev["d3"] == 3  # kept horizon still readable
+
+
+def test_inline_to_chunked_migration_and_rebucket_back(spark, tmp_table_dir, monkeypatch):
+    """A table whose snapshots are inline migrates to chunked manifests on
+    the first commit after crossing the threshold, and rebucketing below
+    the threshold returns it to inline — readers never notice."""
+    t = make(spark, tmp_table_dir, n_buckets=16)
+    seed(spark, t, [(f"d{i}", i, 1, False) for i in range(100)])
+    assert "files" in t.snapshot()  # inline under the default threshold
+
+    monkeypatch.setattr(LakeTable, "MANIFEST_INLINE_MAX", 8)
+    monkeypatch.setattr(LakeTable, "MANIFEST_CHUNK", 4)
+    delta = spark.createDataFrame([("d7", 700, 2)], "doc_id string, v int, lsn long")
+    t.merge(delta, _lww_resolve)  # first post-threshold commit migrates
+    snap = t.snapshot()
+    assert "files" not in snap and sum(c["n"] for c in snap["manifest_list"]) == 16
+    got = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert got["d7"] == 700 and len(got) == 100
+
+    t.rebucket(4)  # back under the inline threshold
+    snap = t.snapshot()
+    assert "manifest_list" not in snap and len(snap["files"]) == 4
+    got = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert got["d7"] == 700 and len(got) == 100
+
+
 def test_lake_level_bucket_column_ddl_rejected(spark, tmp_path):
     """The lake itself (driven without the CDC engine) rejects DDL that
     introduces the reserved layout column '_bucket' — add or rename."""

@@ -119,8 +119,11 @@ def run_cdc_replay(
             )
         )
     wall = min(walls)
+    streaming_best, streaming_runs = _time_streaming_ops(spark, log_dir, work, repeats)
     shutil.rmtree(work, ignore_errors=True)
     return {
+        "streaming_ops": streaming_best,
+        "streaming_ops_runs": streaming_runs,
         "events": n_events,
         "gen_sec": round(gen_sec, 2),
         "replay_sec": round(wall, 2),
@@ -130,6 +133,42 @@ def run_cdc_replay(
         # phase instead of being argued from total wall + host variance
         "phase_sec": phases.get(wall, {}),
     }
+
+
+def _time_streaming_ops(
+    spark, log_dir: str, work: str, repeats: int = 2
+) -> tuple[dict, dict]:
+    """Drain the replay WAL through the two event-time streaming operators
+    (watermarked windowed stats; applyInPandasWithState running totals) so
+    regressions in the streaming path are caught per-round, not only by
+    pytest. Each drain gets a FRESH checkpoint/sink (we're timing the full
+    drain, not incremental catch-up); best-of-N like the queries."""
+    from file_standardization_etl_spark.streaming.windows import (
+        run_stateful_totals,
+        run_windowed_stats,
+    )
+
+    best, runs = {}, {}
+    specs = {
+        "windowed_source_stats": lambda tag: run_windowed_stats(
+            spark,
+            log_dir,
+            os.path.join(work, f"wchk_{tag}"),
+            os.path.join(work, f"wout_{tag}"),
+        ),
+        "stateful_source_totals": lambda tag: run_stateful_totals(
+            spark, log_dir, os.path.join(work, f"schk_{tag}"), f"bench_totals_{tag}"
+        ),
+    }
+    for name, fn in specs.items():
+        walls = []
+        for r in range(repeats):
+            t0 = time.time()
+            fn(f"{name[:4]}{r}")
+            walls.append(round(time.time() - t0, 3))
+        best[name] = min(walls)
+        runs[name] = walls
+    return best, runs
 
 
 def run_queries(spark, sf_dir: str, repeats: int = 2) -> tuple[dict, dict]:
@@ -232,6 +271,12 @@ def _scaling_parent(args):
         r_lo = report["runs"][f"local[{lo}]"]["events_per_sec"]
         r_hi = report["runs"][f"local[{hi}]"]["events_per_sec"]
         report["scaling_efficiency"] = round((r_hi / r_lo) / (hi / lo), 3)
+        # the headline number, with its selection rule in the name: each
+        # side's rate is the best of the UNION of all its samples across
+        # all alternating rounds (clean-window estimate on a host with
+        # multi-minute contention windows) — computed here, not argued in
+        # BASELINE.md prose
+        report["scaling_efficiency_best_of_union"] = report["scaling_efficiency"]
         # the platform's own ceiling for data-parallel work on this box: a
         # bare two-column parquet scan+agg of the same WAL (no engine code)
         s_lo = report["hw_ceiling"][f"local[{lo}]"]["scan_sec"]
@@ -334,6 +379,8 @@ def main():
     cdc = run_cdc_replay(spark, args.events, repeats=2)
     queries = {"cdc_full_replay": cdc["replay_sec"]}
     query_runs = {"cdc_full_replay": cdc["replay_runs_sec"]}
+    queries.update(cdc.pop("streaming_ops"))
+    query_runs.update(cdc.pop("streaming_ops_runs"))
     if not args.skip_queries:
         best, runs = run_queries(spark, sf_dir)
         queries.update(best)

@@ -393,6 +393,14 @@ class LakeTable:
     # launches + commits to write 2 MB; a 100 TB rewrite still gets the
     # full n_buckets of parallelism.
     TARGET_WRITE_BYTES = 64 << 20
+    # ...but bytes alone under-parallelize the FILE-CREATION cost: a merge
+    # touching B buckets writes B files no matter how few tasks run, and a
+    # single task creates them sequentially (open/encode/commit each). A
+    # 1M-event micro-batch's winner delta is ~1 MB → 1 task by bytes →
+    # 64 sequential file commits, which profiling showed was ~2/3 of the
+    # whole merge phase. So tasks also scale with the affected-bucket
+    # count: at most this many bucket files per write task.
+    FILES_PER_WRITE_TASK = 4
 
     def _write_buckets(
         self,
@@ -400,6 +408,7 @@ class LakeTable:
         version_hint: int,
         n_buckets: int | None = None,
         est_bytes: int | None = None,
+        n_files_hint: int | None = None,
     ) -> dict[str, str]:
         """Write df (with ``_bucket`` column) partitioned by bucket; return
         bucket -> directory map. Hash-repartition on ``_bucket`` keeps every
@@ -413,7 +422,9 @@ class LakeTable:
             n_buckets = self.snapshot()["n_buckets"]
         tasks = n_buckets
         if est_bytes is not None:
-            tasks = max(1, min(n_buckets, -(-est_bytes // self.TARGET_WRITE_BYTES)))
+            by_bytes = -(-est_bytes // self.TARGET_WRITE_BYTES)
+            by_files = -(-(n_files_hint or 1) // self.FILES_PER_WRITE_TASK)
+            tasks = max(1, min(n_buckets, max(by_bytes, by_files)))
         (
             df.repartition(tasks, "_bucket")
             # sort by (_bucket, key): a task holding several buckets writes
@@ -605,7 +616,9 @@ class LakeTable:
         est = aff_bytes + (
             delta_bytes if delta_bytes is not None else (n or 0) * 512
         )
-        new_files = self._write_buckets(merged, v + 1, est_bytes=est)
+        new_files = self._write_buckets(
+            merged, v + 1, est_bytes=est, n_files_hint=len(affected)
+        )
         _mark("write_buckets")
         # Enforce the affected_buckets superset invariant (docstring): if
         # the delta wrote a bucket the caller didn't declare, committing

@@ -53,7 +53,11 @@ def read_jsonl(
 def _pandas_excel_loader(path: str, sheet_name, **kwargs):
     """Default frame loader: the reference's exact read call —
     ``header=None, dtype=str, keep_default_na=False``
-    (`repomix-output.xml:7266-7273`, `src/etl/extractors.py:22-46`)."""
+    (`repomix-output.xml:7266-7273`, `src/etl/extractors.py:22-46`).
+    Without openpyxl, .xlsx files fall back to the stdlib SpreadsheetML
+    reader (`xlsx_minimal.py` — same grid contract, asserted equivalent
+    in tests when openpyxl exists), so the production path still executes
+    on real workbooks; only legacy .xls genuinely needs the engine."""
     try:
         import pandas as pd
 
@@ -62,8 +66,12 @@ def _pandas_excel_loader(path: str, sheet_name, **kwargs):
             keep_default_na=False, **kwargs
         )
     except ImportError as e:  # openpyxl/xlrd not in this environment
+        if path.lower().endswith(".xlsx"):
+            from .xlsx_minimal import stdlib_xlsx_loader
+
+            return stdlib_xlsx_loader(path, sheet_name, **kwargs)
         raise NotImplementedError(
-            "Excel ingest needs pandas+openpyxl on the edge node; not available here"
+            "legacy .xls ingest needs pandas+xlrd on the edge node; not available here"
         ) from e
 
 

@@ -116,6 +116,13 @@ class CdcEngine:
         salt_threshold: int = 500_000_000,
         salt_buckets: int = 32,
         n_buckets: int = 16,
+        # merge commit strategy, passed to LakeTable.merge. The CDC
+        # resolver is LWW-by-LSN with a monotone watermark — exactly the
+        # contract merge-on-read requires — so "auto" is safe: micro-batch
+        # deltas append O(delta) MOR files and the occasional oversized
+        # delta / deep stack folds back copy-on-write. "cow" forces the
+        # round-2 behavior (every merge rewrites its affected buckets).
+        merge_mode: str = "auto",
     ):
         self.spark = spark
         self.table_path = os.path.abspath(table_path)
@@ -130,6 +137,7 @@ class CdcEngine:
         self.salt_threshold = salt_threshold
         self.salt_buckets = salt_buckets
         self.n_buckets = n_buckets
+        self.merge_mode = merge_mode
         self.table = LakeTable(spark, os.path.join(self.table_path, "target"))
         # one pool per engine: quarantine writes + lineage scans run as
         # concurrent Spark jobs overlapping the LWW/merge critical path
@@ -402,6 +410,7 @@ class CdcEngine:
             delta_rows=delta_rows,
             affected_buckets=affected_buckets,
             delta_bytes=delta_bytes,
+            mode=self.merge_mode,
         )
 
     # ---------- apply one micro-batch ----------

@@ -5,7 +5,10 @@ Layout on disk::
     table_dir/
       _meta/VERSION          # text: current snapshot number (os.replace → atomic)
       _meta/v{N}.json        # snapshot N: schema, per-bucket file lists, props
-      data/s{N}/_bucket=K/*.parquet   # files written by snapshot N
+      _meta/manifests/m*.json         # bucket-range manifest chunks (large layouts)
+      data/s{N}/_bucket=K/*.parquet   # base files written by snapshot N (CoW)
+      data/d{N}-u/*.parquet           # merge-on-read delta files (bucket-sorted,
+                                      # carry _bucket and _seq columns)
 
 Design properties (the ones Iceberg would give us, and why they matter at
 100 TB):
@@ -20,6 +23,14 @@ Design properties (the ones Iceberg would give us, and why they matter at
   ``|affected buckets| / n_buckets`` of the table, not the whole table.
   On a real cluster this layout would be registered as a bucketed catalog
   table so the MERGE join needs no shuffle on the table side.
+- **Merge-on-read delta stacks** (round 3): ``merge(mode="auto")``
+  appends micro-batch deltas as a few bucket-sorted files and leaves the
+  base untouched — commit I/O is O(delta), the Hudi/Paimon shape —
+  while ``read()`` resolves the stack (newest ``_seq`` per key wins,
+  base-column fallback by recorded ``column_ids``) with the same
+  broadcast three-branch plan the CoW merge uses. Oversized deltas and
+  deep stacks fall back to copy-on-write, which FOLDS the stack — the
+  compaction scheduler is the merge policy itself.
 - **Metadata-only schema evolution**: columns carry stable integer ids;
   each snapshot records a schema version, and each file group remembers
   the schema version it was written under. ``add_column`` /
@@ -346,24 +357,59 @@ class LakeTable:
         """Snapshot scan (current, or time travel via ``as_of_version``),
         optionally bucket-pruned.
 
-        Files are read grouped by the schema version they were written
-        under; each group is reconciled to THAT SNAPSHOT's schema by
-        column id (rename = alias, add = null-fill, widen = cast) and
+        Base files are read grouped by the schema version they were
+        written under; each group is reconciled to THAT SNAPSHOT's schema
+        by column id (rename = alias, add = null-fill, widen = cast) and
         unioned. The number of live schema versions is tiny, so this is a
         handful of parquet scans — each still gets Catalyst pushdown and
         pruning. Time travel only reaches snapshots not yet removed by
         ``expire_snapshots`` (their data dirs are retained exactly while
         the snapshot JSON is).
+
+        Buckets carrying a **merge-on-read delta stack** (see
+        :meth:`merge` ``mode="mor"``) are resolved here: per key the
+        newest delta row (max ``_seq``) supersedes the base row for every
+        column its schema version contains; columns added after that
+        delta was written fall back to the base row's value. The plan is
+        the same broadcast three-branch shape the CoW merge uses — the
+        base side is never shuffled. Compacted tables (no deltas) take
+        the plain scan path with zero overhead.
         """
         snap = self.snapshot(as_of_version)
         cur = TableSchema.from_json(snap["schema"])
         groups: dict[int, list[str]] = {}
+        # delta path -> {"seq", "sv", "buckets": referencing bucket ids}
+        delta_paths: dict[str, dict] = {}
         for b, entry in self._files_load(snap, buckets).items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            groups.setdefault(entry["schema_version"], []).append(entry["path"])
+            if entry.get("path"):
+                groups.setdefault(entry["schema_version"], []).append(entry["path"])
+            for d in entry.get("deltas", []):
+                rec = delta_paths.setdefault(
+                    d["path"],
+                    {
+                        "seq": d["seq"],
+                        "sv": d["schema_version"],
+                        "cols": tuple(d["column_ids"]) if d.get("column_ids") else None,
+                        "bytes": d.get("bytes", 0),
+                        "buckets": set(),
+                    },
+                )
+                rec["buckets"].add(int(b))
+        base = self._reconcile_union(snap, cur, groups)
+        if not delta_paths:
+            if base is None:
+                return self.spark.createDataFrame([], cur.struct_type())
+            return base
+        return self._resolve_mor(snap, cur, base, delta_paths)
+
+    def _reconcile_union(
+        self, snap: dict, cur: TableSchema, groups: dict[int, list[str]]
+    ) -> DataFrame | None:
+        """Union base file groups reconciled by column id to ``cur``."""
         if not groups:
-            return self.spark.createDataFrame([], cur.struct_type())
+            return None
         parts: list[DataFrame] = []
         for sv, paths in sorted(groups.items()):
             old = TableSchema.from_json(snap["schema_versions"][str(sv)])
@@ -385,6 +431,128 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    # Above this many bytes of live delta files the MOR read resolution
+    # stops broadcasting the winner side and falls back to a shuffled
+    # full-outer join (the stack should have been compacted long before).
+    MOR_BROADCAST_MAX_BYTES = 256 << 20
+
+    def _resolve_mor(
+        self,
+        snap: dict,
+        cur: TableSchema,
+        base: DataFrame | None,
+        delta_paths: dict[str, dict],
+    ) -> DataFrame:
+        """Merge-on-read resolution: base ⊎ delta stack → logical rows.
+
+        Each delta file carries ``_bucket`` (layout position) and
+        ``_seq`` (commit version) columns written at append time. Rows
+        are filtered to the buckets that still REFERENCE the file (a
+        later CoW rewrite of some bucket drops its reference; the rows
+        are still physically present in the shared file and must not
+        resurrect), reconciled to the current schema by column id, then
+        the newest row per key wins. A column ABSENT from the winning
+        delta (recorded in its ``column_ids`` — the resolver's old-only
+        "carry" columns are excluded at write time, and columns added by
+        later schema evolution were never there) falls back to the base
+        row's value, matching what the CoW resolver would have produced.
+        """
+        key = snap["key_column"]
+        names = cur.names()
+        # --- load + reconcile each delta file with its bucket filter ---
+        parts: list[DataFrame] = []  # (df, present column-id set) per tag
+        present_sets: list[set[int]] = []
+        by_sig: dict[tuple, list] = {}
+        sv_ids = {
+            int(v): {c["id"] for c in sch["columns"]}
+            for v, sch in snap["schema_versions"].items()
+        }
+        for path, rec in delta_paths.items():
+            by_sig.setdefault(
+                (rec["sv"], rec["cols"], tuple(sorted(rec["buckets"]))), []
+            ).append(path)
+        for (sv, cols_ids, bks), paths in sorted(
+            by_sig.items(), key=lambda kv: (kv[0][0], kv[0][2])
+        ):
+            old = TableSchema.from_json(snap["schema_versions"][str(sv)])
+            old_by_id = old.by_id()
+            present = set(cols_ids) if cols_ids is not None else sv_ids[int(sv)]
+            tag = len(present_sets)
+            df = self.spark.read.parquet(*paths)
+            df = df.filter(F.col("_bucket").isin(*[int(b) for b in bks]))
+            cols = [F.col("_seq"), F.lit(tag).alias("_tag")]
+            for c in cur.columns:
+                o = old_by_id.get(c.id)
+                if o is None or c.id not in present:
+                    cols.append(F.lit(None).cast(c.type).alias(c.name))
+                else:
+                    col = F.col(o.name)
+                    if o.type != c.type:
+                        col = col.cast(c.type)
+                    cols.append(col.alias(c.name))
+            parts.append(df.select(*cols))
+            present_sets.append(present)
+        deltas = parts[0]
+        for p in parts[1:]:
+            deltas = deltas.unionByName(p)
+
+        # --- newest delta row per key (argmax on _seq; (key, _seq) is
+        # unique because each MOR commit carries at most one row per key
+        # and commits have distinct versions) ---
+        mx = deltas.groupBy(key).agg(F.max("_seq").alias("_seq"))
+        win = deltas.join(F.broadcast(mx), on=[key, "_seq"], how="left_semi")
+        if base is None:
+            return win.select(*names)
+
+        def sv_has(c: SchemaColumn) -> Column:
+            """Does the WINNING row's delta file carry column ``c``?"""
+            tags = [t for t, ids in enumerate(present_sets) if c.id in ids]
+            if len(tags) == len(present_sets):
+                return F.lit(True)
+            if not tags:
+                return F.lit(False)
+            return F.col("__w__tag").isin(*tags)
+
+        win_pref = win.select(
+            *[F.col(c).alias(f"__w_{c}") for c in names],
+            F.col("_tag").alias("__w__tag"),
+        )
+        exists = F.col(f"__w_{key}").isNotNull()
+        merged_cols = [
+            F.when(exists & sv_has(c), F.col(f"__w_{c.name}"))
+            .otherwise(F.col(c.name))
+            .alias(c.name)
+            for c in cur.columns
+        ]
+        total_bytes = sum(rec.get("bytes", 0) for rec in delta_paths.values())
+        if total_bytes <= self.MOR_BROADCAST_MAX_BYTES:
+            # three-branch broadcast plan: the base side never shuffles
+            upserts = base.join(
+                F.broadcast(win_pref),
+                base[key] == win_pref[f"__w_{key}"],
+                "left_outer",
+            ).select(*merged_cols)
+            matched = base.join(
+                F.broadcast(win.select(key)), on=key, how="left_semi"
+            ).select(key)
+            inserts = win.join(F.broadcast(matched), on=key, how="left_anti")
+            return upserts.unionByName(inserts.select(*names))
+        # oversized stack: one shuffled full-outer join
+        joined = base.join(
+            win_pref, base[key] == win_pref[f"__w_{key}"], "full_outer"
+        )
+        full_cols = [
+            (
+                F.coalesce(F.col(c.name), F.col(f"__w_{c.name}")).alias(c.name)
+                if c.name == key
+                else F.when(exists & sv_has(c), F.col(f"__w_{c.name}"))
+                .otherwise(F.col(c.name))
+                .alias(c.name)
+            )
+            for c in cur.columns
+        ]
+        return joined.select(*full_cols)
+
     # ---------- write helpers ----------
 
     # dynamic-write task sizing: one output task per this many estimated
@@ -401,6 +569,82 @@ class LakeTable:
     # whole merge phase. So tasks also scale with the affected-bucket
     # count: at most this many bucket files per write task.
     FILES_PER_WRITE_TASK = 4
+
+    # merge(mode="auto") policy: append merge-on-read deltas while every
+    # affected bucket's stack is shallower than MOR_MAX_STACK and the
+    # delta is no bigger than max(one target file, affected-base-bytes /
+    # MOR_COMPACT_RATIO); otherwise copy-on-write (which folds the stack).
+    MOR_MAX_STACK = 8
+    MOR_COMPACT_RATIO = 8
+
+    def _write_delta(
+        self,
+        df: DataFrame,
+        key: str,
+        version_hint: int,
+        n_buckets: int,
+        est_bytes: int,
+    ) -> tuple[str, int]:
+        """Write a merge-on-read delta as a handful of bucket-RANGE files
+        (no ``partitionBy``): rows sorted by ``(_bucket, key)`` so parquet
+        row-group stats prune bucket-filtered reads. A micro-batch delta
+        lands in ~1 task and ~1 file instead of one file per affected
+        bucket dir — profiling showed the 64 per-dir file commits were
+        the dominant cost of small CoW merges."""
+        ddir = os.path.join(
+            self.path, self.DATA, f"d{version_hint}-{uuid.uuid4().hex[:8]}"
+        )
+        tasks = max(1, min(n_buckets, -(-(est_bytes or 1) // self.TARGET_WRITE_BYTES)))
+        (
+            df.repartition(tasks, "_bucket")
+            .sortWithinPartitions("_bucket", key)
+            .write.parquet(ddir)
+        )
+        return ddir, self._dir_bytes(ddir)
+
+    def _verify_delta_buckets(self, ddir: str, affected) -> None:
+        """Abort (pre-commit) if the written delta contains a bucket the
+        caller did not declare: such rows would sit in the shared delta
+        file with no snapshot entry referencing them — silent row loss on
+        every read. Checked from parquet row-group footer stats
+        (driver-side, no Spark job); only row groups whose [min, max]
+        bucket span contains an undeclared id are actually read."""
+        import pyarrow.parquet as pq
+
+        allowed = {int(b) for b in affected}
+        for root, _dirs, fs in os.walk(ddir):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(root, fn))
+                md = pf.metadata
+                ci = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "_bucket"
+                ) if md.num_row_groups else 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max and all(
+                        b in allowed for b in range(st.min, st.max + 1)
+                    ):
+                        continue
+                    got = set(
+                        pf.read_row_group(rg, columns=["_bucket"])
+                        .column(0)
+                        .to_pylist()
+                    )
+                    stray = got - allowed
+                    if stray:
+                        import shutil as _sh
+
+                        _sh.rmtree(ddir, ignore_errors=True)
+                        raise ValueError(
+                            f"merge delta contains undeclared buckets "
+                            f"{sorted(stray)}; affected_buckets is not a "
+                            "superset — aborting before commit to avoid "
+                            "unreferenced (lost) rows"
+                        )
 
     def _write_buckets(
         self,
@@ -482,6 +726,7 @@ class LakeTable:
         delta_rows: int | None = None,
         affected_buckets: list[int] | None = None,
         delta_bytes: int | None = None,
+        mode: str = "cow",
     ) -> None:
         """Bucket-pruned MERGE: join current state of *affected buckets only*
         with ``delta`` on the key and let ``apply_fn(old_cols, new_cols)``
@@ -525,6 +770,32 @@ class LakeTable:
 
         Unaffected buckets are carried forward by reference — no read, no
         write.
+
+        ``mode`` selects the physical commit strategy:
+
+        - ``"cow"`` (default): copy-on-write — affected buckets are read,
+          resolved through ``apply_fn`` and rewritten. Always correct for
+          any ``apply_fn``.
+        - ``"mor"``: merge-on-read — the delta is pre-resolved as inserts
+          (``apply_fn`` with an all-null old side), written ONCE as a few
+          bucket-sorted delta files, and appended to the affected
+          buckets' delta stacks. The base is neither read nor rewritten:
+          a micro-batch merge costs O(delta) I/O instead of O(affected
+          buckets) — at 100 TB that is the difference between a commit
+          that writes megabytes and one that rewrites the table's hot
+          buckets every 10 seconds. :meth:`read` resolves the stack
+          (newest row per key wins). **Contract**: valid only when
+          ``apply_fn`` has upsert/LWW semantics — each delta row must
+          strictly supersede any stored row with its key (the CDC engine
+          guarantees this via the LSN watermark); an accumulating
+          ``apply_fn`` (e.g. ``old.count + new.count``) must use CoW.
+        - ``"auto"``: MOR while the delta is small (≤ max(one target
+          file, affected-base-bytes / ``MOR_COMPACT_RATIO``)) and every
+          affected stack is shallower than ``MOR_MAX_STACK``; CoW
+          otherwise. The CoW fallback reads through :meth:`read`, so it
+          FOLDS the accumulated stack back into the base — compaction
+          happens as a natural consequence of the policy, no separate
+          scheduler needed.
         """
         import time
 
@@ -558,23 +829,102 @@ class LakeTable:
             return
 
         _mark("affected")
-        old = self.read(buckets=affected)
+        names = cur.names()
+        new_names = list(delta.columns)
+
+        def resolved(joined):
+            old_cols = {c: F.col(f"__o_{c}") for c in names}
+            new_cols = {c: F.col(f"__n_{c}") for c in new_names}
+            out = apply_fn(old_cols, new_cols)
+            return joined.select(*[expr.alias(name) for name, expr in out.items()])
+
         n = delta_rows if delta_rows is not None else delta.count()
+        aff_files = self._files_load(snap, affected)
+        est_delta = delta_bytes if delta_bytes is not None else (n or 0) * 512
+        if mode == "auto":
+            aff_bytes_all = sum(
+                self._entry_bytes(aff_files[str(b)])
+                for b in affected
+                if str(b) in aff_files
+            )
+            stack = max(
+                (len(aff_files.get(str(b), {}).get("deltas") or []) for b in affected),
+                default=0,
+            )
+            use_mor = stack < self.MOR_MAX_STACK and est_delta <= max(
+                self.TARGET_WRITE_BYTES, aff_bytes_all // self.MOR_COMPACT_RATIO
+            )
+        else:
+            use_mor = mode == "mor"
+
+        if use_mor:
+            ins_pref = delta.select(
+                *[F.lit(None).cast(c.type).alias(f"__o_{c.name}") for c in cur.columns],
+                *[F.col(c).alias(f"__n_{c}") for c in delta.columns],
+            )
+            out_exprs = apply_fn(
+                {c: F.col(f"__o_{c}") for c in names},
+                {c: F.col(f"__n_{c}") for c in new_names},
+            )
+            # Old-only "carry" columns (merged expression never touches
+            # the __n_ side — e.g. columns added by schema evolution that
+            # the resolver passes through) are EXCLUDED from the delta
+            # file and its column_ids: under an all-null old side they
+            # would store null and clobber the base value at read time.
+            # The MOR read falls back to the base row for absent columns.
+            mor_names = [
+                nm
+                for nm, ex in out_exprs.items()
+                if nm == key or "__n_" in repr(ex)
+            ]
+            merged = (
+                ins_pref.select(*[out_exprs[nm].alias(nm) for nm in mor_names])
+                .withColumn("_bucket", bucket_expr(F.col(key), n_buckets))
+                .withColumn("_seq", F.lit(v + 1))
+            )
+            _mark("build_plan")
+            ddir, dbytes = self._write_delta(merged, key, v + 1, n_buckets, est_delta)
+            _mark("write_delta")
+            if affected_buckets is not None:
+                # same superset invariant as CoW: an undeclared bucket's
+                # rows would sit in the shared file with no entry
+                # referencing them — silent row loss, so verify from the
+                # written files' footer stats before committing
+                self._verify_delta_buckets(ddir, affected)
+            by_name = cur.by_name()
+            item = {
+                "path": ddir,
+                "schema_version": cur.version,
+                "seq": v + 1,
+                "bytes": dbytes,
+                "column_ids": [by_name[nm].id for nm in mor_names],
+            }
+            add = {}
+            for b in affected:
+                e = dict(
+                    aff_files.get(str(b))
+                    or {"path": None, "schema_version": cur.version, "bytes": 0}
+                )
+                e["deltas"] = list(e.get("deltas", [])) + [item]
+                add[str(b)] = e
+            self._files_replace(snap, [], add, v + 1)
+            if properties_update:
+                snap["properties"].update(properties_update)
+            self._commit(snap, v)
+            return
+
+        old = self.read(buckets=affected)
         _mark("plan_old")
         use_broadcast = broadcast_threshold_rows is not None and n <= broadcast_threshold_rows
 
         old_pref = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
         new_pref = delta.select([F.col(c).alias(f"__n_{c}") for c in delta.columns])
-        new_names = [c[len("__n_"):] for c in new_pref.columns]
 
-        def resolved(joined):
-            old_cols = {c: F.col(f"__o_{c}") for c in old.columns}
-            new_cols = {c: F.col(f"__n_{c}") for c in new_names}
-            out = apply_fn(old_cols, new_cols)
-            return joined.select(*[expr.alias(name) for name, expr in out.items()])
-
-        aff_files = self._files_load(snap, affected)
-        have_old = any(str(b) in aff_files for b in affected)
+        have_old = any(
+            str(b) in aff_files
+            and (aff_files[str(b)].get("path") or aff_files[str(b)].get("deltas"))
+            for b in affected
+        )
         if not have_old:
             # first load / all-fresh buckets: every delta row is an insert.
             # Catalyst would fold the joins against the empty LocalRelation
@@ -832,7 +1182,12 @@ class LakeTable:
             # file map in manifest chunks — reading the inline key alone
             # would see ZERO references and collect every live data dir
             for entry in self._files_load(snap).values():
-                referenced.add(os.path.dirname(os.path.abspath(entry["path"])))
+                if entry.get("path"):
+                    referenced.add(os.path.dirname(os.path.abspath(entry["path"])))
+                # merge-on-read delta dirs live directly under data/
+                # (d{N}-{uuid}) and are the deletable unit themselves
+                for d in entry.get("deltas", []):
+                    referenced.add(os.path.abspath(d["path"]))
 
         snaps_deleted = 0
         for name in list(os.listdir(self._meta_dir)):

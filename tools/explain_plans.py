@@ -104,6 +104,60 @@ def main() -> int:
                 failures.append(f"{name}: forbidden plan node `{bad}` (scale regression)")
         widths = read_schema_width(plan)
         sections.append((name, needles, widths, plan))
+
+    # --- merge-on-read resolution plan: the base side must never be
+    # shuffled (broadcast three-branch, VERDICT r2 #4 / round-3 MOR) ---
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from file_standardization_etl_spark.lake.table import LakeTable  # noqa: E402
+
+    with tempfile.TemporaryDirectory(prefix="plan_mor_") as tmp:
+        t = LakeTable.create(
+            spark,
+            os.path.join(tmp, "t"),
+            [("k", "string"), ("v", "int"), ("last_lsn", "bigint")],
+            "k",
+            n_buckets=8,
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(f"k{i}", i, 1) for i in range(64)], "k string, v int, last_lsn long"
+            )
+        )
+
+        def lww(old, new):
+            take = new["lsn"].isNotNull() & (
+                old["last_lsn"].isNull() | (new["lsn"] > old["last_lsn"])
+            )
+            return {
+                "k": F.coalesce(old["k"], new["k"]),
+                "v": F.when(take, new["v"]).otherwise(old["v"]),
+                "last_lsn": F.when(take, new["lsn"]).otherwise(old["last_lsn"]),
+            }
+
+        t.merge(
+            spark.createDataFrame([("k1", 100, 2)], "k string, v int, lsn long"),
+            lww,
+            mode="mor",
+            delta_rows=1,
+        )
+        df = t.read()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        name = "lake_mor_read"
+        needles = ["BroadcastHashJoin"]
+        for needle in needles:
+            if needle not in plan:
+                failures.append(f"{name}: missing `{needle}`")
+        for bad in ["SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"]:
+            if bad in plan:
+                failures.append(
+                    f"{name}: `{bad}` — MOR resolution must not shuffle the base"
+                )
+        sections.append((name, needles, read_schema_width(plan), plan))
     spark.stop()
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

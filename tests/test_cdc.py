@@ -341,3 +341,48 @@ def test_replay_over_chunked_manifest_table(spark, tmp_path, monkeypatch):
     live = {c["file"] for v in (snap["version"] - 1, snap["version"])
             for c in engine.table.snapshot(v).get("manifest_list", [])}
     assert set(os.listdir(mdir)) == live  # orphan chunks collected exactly
+
+
+def test_many_micro_batches_build_and_fold_mor_stacks(spark, tmp_path):
+    """Live-table cadence through the DEFAULT merge mode ("auto"): 14
+    micro-batches must append merge-on-read delta stacks, hit
+    ``MOR_MAX_STACK`` mid-stream and fold back copy-on-write with NO
+    maintenance call, absorb a DDL add_column and a crash-redelivery,
+    and still land bitwise equal to the dict oracle. This is the CDC
+    integration of what test_lake_mor.py proves at the table layer."""
+    from file_standardization_etl_spark.lake.table import LakeTable
+
+    changes = ({"action": "add_column", "name": "quality", "type": "double"},)
+    cfg = EventGenConfig(
+        n_events=4200, n_docs=120, seed=29,
+        schema_change_lsns=(2101,), schema_changes=changes,
+    )
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    assert engine.merge_mode == "auto"
+    oracle = OracleState()
+    max_stack_seen, folds_seen, prev_stack = 0, 0, 0
+    step = 300
+    for i, lo in enumerate(range(0, len(events), step)):
+        sl = events[lo : lo + step]
+        engine.apply_batch(events_df(spark, sl), batch_id=i)
+        if i == 5:  # crash-redelivery mid-stream: must be a no-op
+            v = engine.table.current_version()
+            engine.apply_batch(events_df(spark, sl), batch_id=i)
+            assert engine.table.current_version() == v
+        oracle = replay(sl, oracle)
+        snap = engine.table.snapshot()
+        stack = max(
+            (len(e.get("deltas") or []) for e in engine.table._files_load(snap).values()),
+            default=0,
+        )
+        max_stack_seen = max(max_stack_seen, stack)
+        if stack < prev_stack:
+            folds_seen += 1
+        prev_stack = stack
+    assert max_stack_seen >= 2, "MOR path never engaged"
+    assert max_stack_seen <= LakeTable.MOR_MAX_STACK
+    assert folds_seen >= 1, "auto fold never happened mid-stream"
+    assert_state_matches(engine, oracle)
+    q = {r["lsn"]: r["reason"] for r in engine.quarantine().collect()}
+    assert q == {e["lsn"]: e["reason"] for e in oracle.quarantine}

@@ -252,3 +252,31 @@ def test_oversized_stack_uses_shuffle_fallback(spark, tmp_path, monkeypatch):
     assert got["d1"] == (12, 9, False)
     assert got["d9"] == (9, 1, False)
     assert got["d2"][2] is True  # tombstone via delete
+
+
+def test_mor_over_chunked_manifest_layout(spark, tmp_path, monkeypatch):
+    """MOR delta refs must ride the chunked manifest tree: appends touch
+    only intersecting chunks, folds drop refs chunk-granularly, GC sees
+    chunk-stored delta refs as live, and state stays exact throughout."""
+    monkeypatch.setattr(LakeTable, "MANIFEST_INLINE_MAX", 8)
+    monkeypatch.setattr(LakeTable, "MANIFEST_CHUNK", 4)
+    monkeypatch.setattr(LakeTable, "MOR_MAX_STACK", 3)
+    t = make(spark, str(tmp_path / "t"), n_buckets=16)
+    ref = {}
+    lsn = 0
+    for i in range(5):
+        rows = []
+        for j in range(4):
+            lsn += 1
+            k = f"d{(i * 3 + j) % 6}"
+            rows.append((k, 100 * i + j, lsn, "upsert"))
+            ref[k] = (100 * i + j, lsn, False)
+        t.merge(delta_df(spark, rows), lww, mode="auto", delta_rows=len(rows))
+    snap = t.snapshot()
+    assert "files" not in snap and snap.get("manifest_list")
+    assert state(t) == ref
+    # at least one delta ref lives inside a manifest chunk right now
+    assert any(e.get("deltas") for e in t._files_load(snap).values())
+    res = t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    assert state(t) == ref  # GC kept chunk-referenced delta files live
+    assert res["snapshots_deleted"] >= 1

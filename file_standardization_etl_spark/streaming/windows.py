@@ -167,6 +167,11 @@ def stateful_source_totals(events: DataFrame) -> DataFrame:
     forgets closed windows."""
     return (
         events.filter(F.col("op") != "schema_change")
+        # explicit prune: Catalyst cannot push column pruning into a
+        # black-box Python state function, so without this the Arrow
+        # channel ships every WAL column — including the tokens array,
+        # which is ~95% of the bytes and is never read by the op
+        .select("source", "n_tok", "lsn")
         .groupBy("source")
         .applyInPandasWithState(
             _running_totals,

@@ -154,3 +154,73 @@ def test_minhash_degenerate_bucket_never_materializes(spark):
     ).collect()
     assert all(r["doc_a"].startswith("dup_") for r in pairs)
     assert len(pairs) == 5 * 3  # C(3,2)=3 pairs per group x 5 groups
+
+
+# ---------- graph / connected components ----------
+
+from file_standardization_etl_spark.operators import graph  # noqa: E402
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a string, doc_b string")
+
+
+def test_cc_chain_is_transitive(spark):
+    """A-B, B-C, C-D is one component labeled by the minimum, even though
+    A-C, A-D, B-D were never emitted as pairs."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    got = {r["doc_id"]: r["component"] for r in graph.connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_cc_star_parity_on_adversarial_shapes(spark):
+    """large-star/small-star must agree with hash-min on a long path
+    (worst case for propagation), a clique, and disjoint mixtures."""
+    path = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(20)]
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    e = _edges(spark, path + clique + [("z1", "z2")])
+    a = sorted(map(tuple, graph.connected_components(e).collect()))
+    b = sorted(map(tuple, graph.connected_components_star(e).collect()))
+    assert a == b
+    assert ("n20", "n00") in a
+
+
+def test_cc_on_lsh_pairs_matches_pairwise_closure(spark, docs):
+    """Components over real LSH pairs = transitive closure of the pair
+    set (python union-find as the in-test oracle)."""
+    cand_df = dedup_text.minhash_lsh_candidates(docs)
+    pairs = cand_df.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in graph.connected_components(cand_df).collect()
+    }
+    assert got == want
+
+
+def test_cluster_keepers_longest_then_smallest_id(spark):
+    docs = spark.createDataFrame(
+        [("a", "xx xx"), ("b", "longest text here"), ("c", "same length!!!!!!"), ("d", "tiny")],
+        "doc_id string, text string",
+    )
+    comps = graph.connected_components(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    )
+    rows = graph.cluster_keepers(docs, comps).collect()
+    assert len(rows) == 1
+    # b and c tie at length 17; b wins on id
+    assert rows[0]["component"] == "a"
+    assert rows[0]["n_docs"] == 4
+    assert rows[0]["keeper_doc"] == "b"

@@ -50,6 +50,19 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def hashmin_superstep(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min round: label'(u) = min(label(u), min_{v∈N(u)} label(v)).
+
+    Exposed separately so the plan audit (tools/explain_plans.py) can
+    assert the per-round shape — one equi-join for the messages, one
+    all-scalar min HashAggregate (map-side combined), no cartesian —
+    without executing the fixpoint loop."""
+    msgs = sym.join(labels.withColumnRenamed("node", "v"), on="v").select(
+        F.col("u").alias("node"), "lab"
+    )
+    return labels.union(msgs).groupBy("node").agg(F.min("lab").alias("lab"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -75,16 +88,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        # neighbor labels flow along edges; keep own label in the pool
-        msgs = sym.join(
-            labels.withColumnRenamed("node", "v"), on="v"
-        ).select(F.col("u").alias("node"), "lab")
-        new = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
+        new = hashmin_superstep(sym, labels).localCheckpoint(eager=True)
         changed = (
             new.withColumnRenamed("lab", "new_lab")
             .join(labels, on="node")

@@ -386,3 +386,66 @@ def test_many_micro_batches_build_and_fold_mor_stacks(spark, tmp_path):
     assert_state_matches(engine, oracle)
     q = {r["lsn"]: r["reason"] for r in engine.quarantine().collect()}
     assert q == {e["lsn"]: e["reason"] for e in oracle.quarantine}
+
+
+def test_randomized_replay_matches_oracle(spark, tmp_path):
+    """Property check across randomized stream shapes: random batch
+    boundaries, random DDL positions/kinds, random redelivery of a prefix
+    of already-applied batches — every combination must land on the dict
+    oracle's exact final state (the fixed-slicing tests above each pin
+    one shape; this sweeps the space)."""
+    import random as _random
+
+    for case in range(4):
+        rng = _random.Random(1000 + case)
+        n_events = rng.choice([1500, 2500, 4000])
+        n_docs = rng.choice([50, 150, 400])
+        kinds = [
+            {"action": "add_column", "name": f"extra{case}", "type": "double"},
+            {"action": "rename_column", "name": "source", "new_name": f"src{case}"},
+            {"action": "widen_type", "name": "n_tok", "type": "bigint"},
+        ]
+        n_ddl = rng.randint(0, 2)
+        ddl_lsns = tuple(sorted(rng.sample(range(100, n_events - 100), n_ddl)))
+        changes = tuple(rng.choice(kinds) for _ in range(n_ddl))
+        # rename+add could collide with a later rename target; keep kinds unique
+        if len({c["action"] for c in changes}) < len(changes):
+            changes = tuple(kinds[:n_ddl])
+        cfg = EventGenConfig(
+            n_events=n_events, n_docs=n_docs, seed=2000 + case,
+            schema_change_lsns=ddl_lsns, schema_changes=changes,
+            disorder_window=rng.choice([1, 50, 300]),
+        )
+        events = generate_events(cfg)
+        # WAL contract: batches must be LSN-coherent slices — arrival
+        # disorder exists only WITHIN a disorder window, so batch cuts
+        # must land on window boundaries (an arbitrary cut would make the
+        # engine legitimately drop below-watermark stragglers).
+        w = cfg.disorder_window
+        aligned = [i for i in range(w, n_events, w)]
+        cuts = sorted(rng.sample(aligned, min(rng.randint(1, 4), len(aligned))))
+        slices = [
+            events[lo:hi]
+            for lo, hi in zip([0] + cuts, cuts + [n_events])
+        ]
+        engine = make_engine(spark, tmp_path / f"case{case}")
+        for i, sl in enumerate(slices):
+            engine.apply_batch(events_df(spark, sl), batch_id=i)
+            if rng.random() < 0.5:  # crash window: redeliver an old batch
+                j = rng.randint(0, i)
+                engine.apply_batch(events_df(spark, slices[j]), batch_id=j)
+        oracle = replay(events)
+        src_col = next(
+            (c["new_name"] for c in changes if c["action"] == "rename_column"),
+            "source",
+        )
+        got = {
+            r["doc_id"]: (list(r["tokens"]), int(r["n_tok"]), r[src_col], r["last_lsn"])
+            for r in engine.state().collect()
+        }
+        want = {
+            k: (list(v["tokens"]), v["n_tok"], v["source"], v["last_lsn"])
+            for k, v in oracle.live_docs().items()
+        }
+        assert got == want, f"case {case}: state diverged"
+        assert engine.quarantine().count() == len(oracle.quarantine), f"case {case}"

@@ -158,6 +158,32 @@ def main() -> int:
                     f"{name}: `{bad}` — MOR resolution must not shuffle the base"
                 )
         sections.append((name, needles, read_schema_width(plan), plan))
+
+    # --- connected-components superstep: the per-round plan must be one
+    # equi-join + an all-scalar min HashAggregate (map-side combine — a
+    # hot node collapses before the shuffle); no cartesian, no Python ---
+    from file_standardization_etl_spark.operators import graph  # noqa: E402
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    sym = graph._symmetrize(edges, "doc_a", "doc_b")
+    labels = sym.selectExpr("u as node", "v as lab").groupBy("node").agg(
+        F.min("lab").alias("lab")
+    )
+    df = graph.hashmin_superstep(sym, labels)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    name = "dedup_cluster_cc_superstep"
+    needles = ["HashAggregate", "Join"]
+    for needle in needles:
+        if needle not in plan:
+            failures.append(f"{name}: missing `{needle}`")
+    for bad in FORBIDDEN + ["CartesianProduct", "BroadcastNestedLoopJoin"]:
+        if bad in plan:
+            failures.append(f"{name}: forbidden plan node `{bad}`")
+    sections.append((name, needles, read_schema_width(plan), plan))
     spark.stop()
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

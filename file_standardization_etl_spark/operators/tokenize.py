@@ -1,0 +1,125 @@
+"""Token-sequence operators for training-data preparation: context-window
+chunking, vocabulary statistics, and deterministic dataset splits.
+
+The corpus tables carry raw text; token ids are derived deterministically
+as the first 8 hex digits of md5(word) — the same engine-portable keyed
+hash used by the dedup operators (identical in Spark and DuckDB, so every
+op here is oracle-checkable bit-for-bit). On a real pipeline the id column
+would come from the tokenizer upstream; every plan below reads an
+`array<token>` column and never cares how it was produced.
+
+Scale notes:
+
+- chunking is per-row narrow work (two generator explodes inside one
+  whole-stage-codegen span, no shuffle at all until the caller
+  aggregates) — the 100 TB shape is "explode in the map stage, write".
+- vocab stats shuffle one (token, count) pair per distinct token per
+  task thanks to partial aggregation; top-k is a TakeOrderedAndProject
+  (no global sort).
+- hash-split is a stateless projection — the split is a pure function of
+  (doc_id, salt), so it is reproducible across runs, clusters, and
+  engines, and any subset of the corpus can be split independently (the
+  property random() splits lack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN = "substring(md5(x), 1, 8)"
+
+
+def split_bucket_sql(key: str, salt: str) -> str:
+    """0-99 bucket from 4 md5 hex digits of (salt ':' key) — written in
+    the engine-portable subset (md5/substring/instr/%), so the SAME text
+    is both the Spark expression and the DuckDB oracle expression and the
+    two can never drift. 65536 % 100 bias is ±1 part in 655."""
+    h = f"md5(concat('{salt}', ':', cast({key} as string)))"
+    digits = [
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        for i in range(4)
+    ]
+    poly = " + ".join(f"{d} * {16 ** (3 - i)}" for i, d in enumerate(digits))
+    return f"(({poly}) % 100)"
+
+
+def tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks: array<string>) — whitespace words → 8-hex-digit ids."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), x -> {TOKEN})").alias("toks"),
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame, max_len: int = 32, stride: int = 24
+) -> DataFrame:
+    """Split each token sequence into overlapping context windows:
+    window ``c`` covers tokens ``[1 + c*stride, 1 + c*stride + max_len)``
+    (the trailing window may be shorter). Output is fully exploded —
+    (doc_id, chunk_id, pos, token) — the exact shape a sequence-packing
+    or example-writing stage consumes, and scalar enough for bitwise
+    cross-engine comparison.
+    """
+    if stride <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    t = tokenized(docs)
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"sequence(1, size(toks), {stride})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / stride).cast("int").alias("chunk_id"),
+            F.posexplode(F.expr(f"slice(toks, s, {max_len})")).alias("pos", "token"),
+        )
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k token frequencies (count desc, token asc — deterministic
+    under ties): (rank, token, n_occurrences)."""
+    t = tokenized(docs)
+    counts = (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    # sort of the whole vocabulary), then rank the k survivors; a bare
+    # row_number over every distinct token would be a one-task sort
+    top = counts.orderBy(F.col("n_occ").desc(), "token").limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("n_occ").desc(), F.col("token")))
+    return top.withColumn("rank", w).select("rank", "token", "n_occ")
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (doc_id, split).
+
+    Bucket = first 8 md5 hex digits of (salt ':' doc_id) mod 100; the
+    weights map split names to percentage bands in declaration order.
+    Pure projection — no shuffle, no state, stable under re-runs and
+    corpus growth (a doc's split never changes when other docs appear).
+    """
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = F.expr(split_bucket_sql(key, salt)).cast("int")
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (F.col("_b") >= lo) & (F.col("_b") < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return (
+        docs.select(key, bucket.alias("_b"))
+        .select(key, expr.alias("split"))
+    )

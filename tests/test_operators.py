@@ -224,3 +224,72 @@ def test_cluster_keepers_longest_then_smallest_id(spark):
     assert rows[0]["component"] == "a"
     assert rows[0]["n_docs"] == 4
     assert rows[0]["keeper_doc"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# token-sequence ops (operators/tokenize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_cover_every_token_with_expected_overlap(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    one = docs.filter(F.col("doc_id") == 0)
+    n_toks = one.select(F.size(F.split("text", " ")).alias("n")).first()["n"]
+    rows = tokenize.chunk_tokens(one, max_len=32, stride=24).collect()
+    # window c covers absolute token indexes [c*24, c*24+32); every token
+    # index 0..n-1 appears, boundary tokens exactly twice
+    covered = {}
+    for r in rows:
+        idx = r["chunk_id"] * 24 + r["pos"]
+        covered[idx] = covered.get(idx, 0) + 1
+    assert set(covered) == set(range(n_toks))
+    for idx, cnt in covered.items():
+        in_overlap = any(
+            c * 24 + 24 <= idx < c * 24 + 32
+            and (c + 1) * 24 < n_toks + 1  # a next window actually starts
+            for c in range(r["chunk_id"] + 1)
+        )
+        assert cnt == (2 if in_overlap else 1), (idx, cnt)
+
+
+def test_chunk_windows_respect_max_len_and_tail(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    sizes = (
+        tokenize.chunk_tokens(docs, max_len=32, stride=24)
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"))
+        .collect()
+    )
+    for r in sizes:
+        assert 1 <= r["n"] <= 32
+        assert r["mx"] == r["n"] - 1  # pos is dense 0..n-1
+    with pytest.raises(ValueError):
+        tokenize.chunk_tokens(docs, max_len=0)
+
+
+def test_vocab_topk_rank_order_and_tie_break(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    rows = tokenize.vocab_topk(docs, k=10).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    key = [(-r["n_occ"], r["token"]) for r in rows]
+    assert key == sorted(key)
+
+
+def test_hash_split_is_deterministic_and_subset_stable(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    full = {r["doc_id"]: r["split"] for r in tokenize.hash_split(docs).collect()}
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in tokenize.hash_split(docs.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    # a doc's split never changes when the rest of the corpus disappears
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+    assert set(full.values()) <= {"train", "val", "test"}
+    frac = sum(1 for v in full.values() if v == "train") / len(full)
+    assert frac > 0.9  # 98% band, small-sample slack
+    with pytest.raises(ValueError):
+        tokenize.hash_split(docs, weights={"train": 50, "val": 1})

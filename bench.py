@@ -48,6 +48,8 @@ HEADLINE_QUERIES = [
     "scalar_dates",
     "ann_brute_topk",
     "text_quality",
+    "tokens_contamination",
+    "tokens_pack_examples",
 ]
 
 

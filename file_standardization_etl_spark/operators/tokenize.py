@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN = "substring(md5(x), 1, 8)"
+TRAIN_PCT = 98  # default train band of the 0-99 split bucket
 
 
 def split_bucket_sql(key: str, salt: str) -> str:
@@ -122,4 +123,125 @@ def hash_split(
     return (
         docs.select(key, bucket.alias("_b"))
         .select(key, expr.alias("split"))
+    )
+
+
+def _gram_hashes(n: int) -> str:
+    """Distinct md5 hashes of the n-word grams of column ``w`` (only docs
+    with >= n words produce grams — a shorter doc has no full n-gram)."""
+    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+    return (
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> md5(concat_ws(' ', {parts}))))"
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    salt: str = "split-v1",
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination scan: for every (train doc, eval doc)
+    pair sharing at least ``min_shared`` distinct n-word grams, emit
+    (train_doc, eval_doc, n_shared). Eval membership is the hash-split
+    band (bucket >= TRAIN_PCT), so the scan needs no precomputed split
+    column and composes with ``hash_split`` by construction.
+
+    Scale shape: the eval side is ~2% of the corpus; its exploded gram
+    set is broadcast (size-gate with ``broadcast_eval=False`` to fall
+    back to a shuffled hash join — at 100 TB you would instead ship a
+    bloom filter of eval grams to pre-filter the train side). The train
+    side is never collected and never self-joined — one scan, one join,
+    one partial-agg groupBy.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    b = F.expr(split_bucket_sql("doc_id", salt)).cast("int")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"), b.alias("_b"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", "_b", F.explode(F.expr(_gram_hashes(n))).alias("gram"))
+    )
+    train = grams.filter(F.col("_b") < TRAIN_PCT).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    ev = grams.filter(F.col("_b") >= TRAIN_PCT).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        train.join(ev, "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # grams are distinct per doc
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(docs: DataFrame, n: int = 8, salt: str = "split-v1") -> DataFrame:
+    """Clean train roster: train-split docs that share NO n-gram with any
+    eval doc — (doc_id) anti-joined against the contamination scan."""
+    dirty = contamination_pairs(docs, n=n, salt=salt).select(
+        F.col("train_doc").alias("doc_id")
+    )
+    b = F.expr(split_bucket_sql("doc_id", salt)).cast("int")
+    train = docs.select("doc_id").filter(b < TRAIN_PCT)
+    return train.join(dirty, "doc_id", "left_anti")
+
+
+def pack_examples(
+    docs: DataFrame,
+    max_len: int = 32,
+    stride: int = 24,
+    capacity: int = 64,
+    n_shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Offset-based sequence packing: chunks are laid end-to-end in a
+    shard's concatenated token stream (deterministic order: doc_id,
+    chunk_id) and an example is the ``capacity``-token aligned window the
+    chunk's START offset falls in. Output is per-example stats:
+    (shard, example_id, n_chunks, n_docs, n_tokens).
+
+    A chunk that straddles an example boundary belongs to the example
+    containing its first token (examples can overflow by up to
+    max_len - 1 tokens; downstream writers truncate or pad — the
+    assignment, not the byte layout, is the distributed problem).
+
+    Scale shape: chunk lengths come from arithmetic on size(split(text))
+    — the token arrays themselves are never exploded. The only shuffle
+    is the per-shard window; shards are an md5 bucket of doc_id, so
+    ``n_shards`` scales the sort width to the cluster (each shard sorts
+    independently; 10^5 shards at 100 TB keeps per-task sorts in memory).
+    """
+    if capacity < max_len:
+        raise ValueError("capacity must be >= max_len")
+    shard = (F.expr(split_bucket_sql("doc_id", salt)) % n_shards).cast("int")
+    base = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "shard",
+        "n",
+        F.explode(F.expr(f"sequence(1, n, {stride})")).alias("s"),
+    ).select(
+        "doc_id",
+        "shard",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_id"),
+        F.least(F.lit(max_len), F.col("n") - F.col("s") + 1).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+    offs = chunks.withColumn(
+        "example_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("int"),
+    )
+    return offs.groupBy("shard", "example_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
     )

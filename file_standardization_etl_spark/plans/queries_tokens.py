@@ -89,8 +89,108 @@ FROM (SELECT doc_id, CAST({_BUCKET} AS INT) AS b FROM documents)
 """
 
 
+# the operator's production default is 8-word grams; the registry runs at
+# n=3 so the sf0.01 synthetic corpus (whose duplicates are short-span)
+# actually produces cross-split overlap — a 0-row gate proves nothing
+_N_GRAM = 3
+
+# distinct n-word-gram md5s per doc, with the split bucket inline; docs
+# shorter than n words contribute no grams (range(1,1) is empty) — the
+# same rule as the Spark side's size(w) >= n filter
+_SQL_GRAMS = f"""
+g AS (
+  SELECT doc_id, CAST({_BUCKET} AS INT) AS b,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {_N_GRAM - 1}, 0) + 1),
+           i -> md5(concat_ws(' ', {", ".join(f"w[i + {k}]" for k in range(_N_GRAM))}))
+         ))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+
+def q_tokens_contamination(spark, sf_dir):
+    """Train/eval decontamination scan: shared distinct n-gram counts per
+    (train doc, eval doc) pair — eval gram set broadcast, train side a
+    single scan + partial-agg groupBy."""
+    return tokenize.contamination_pairs(load(spark, sf_dir, "documents"), n=_N_GRAM)
+
+
+SQL_TOKENS_CONTAM = f"""
+WITH {_SQL_GRAMS}
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g t JOIN g e ON t.gram = e.gram
+WHERE t.b < {tokenize.TRAIN_PCT} AND e.b >= {tokenize.TRAIN_PCT}
+GROUP BY 1, 2
+"""
+
+
+def q_tokens_clean_train(spark, sf_dir):
+    """Decontaminated train roster: train docs sharing no n-gram with any
+    eval doc (anti-join over the contamination scan)."""
+    return tokenize.decontaminate(load(spark, sf_dir, "documents"), n=_N_GRAM)
+
+
+SQL_TOKENS_CLEAN = f"""
+WITH {_SQL_GRAMS},
+dirty AS (
+  SELECT DISTINCT t.doc_id FROM g t JOIN g e ON t.gram = e.gram
+  WHERE t.b < {tokenize.TRAIN_PCT} AND e.b >= {tokenize.TRAIN_PCT}
+)
+SELECT doc_id
+FROM (SELECT doc_id, CAST({_BUCKET} AS INT) AS b FROM documents)
+WHERE b < {tokenize.TRAIN_PCT} AND doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
+_CAPACITY = 64
+_N_SHARDS = 8
+_PACK_BUCKET = tokenize.split_bucket_sql("doc_id", "pack-v1")
+
+
+def q_tokens_pack_examples(spark, sf_dir):
+    """Offset-based sequence packing: per-example chunk/doc/token stats.
+    Chunk lengths are arithmetic on size(split(text)) — token arrays are
+    never exploded; the only shuffle is the per-shard window sort."""
+    return tokenize.pack_examples(
+        load(spark, sf_dir, "documents"),
+        max_len=_MAX_LEN,
+        stride=_STRIDE,
+        capacity=_CAPACITY,
+        n_shards=_N_SHARDS,
+    )
+
+
+SQL_TOKENS_PACK = f"""
+WITH base AS (
+  SELECT doc_id, CAST(({_PACK_BUCKET}) % {_N_SHARDS} AS INT) AS shard,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, shard, CAST((s - 1) // {_STRIDE} AS INT) AS chunk_id,
+         least({_MAX_LEN}, n - s + 1) AS n_tok
+  FROM (SELECT doc_id, shard, n, unnest(range(1, n + 1, {_STRIDE})) AS s FROM base)
+),
+offs AS (
+  SELECT shard, doc_id, n_tok,
+         CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id)
+               - n_tok) // {_CAPACITY} AS INT) AS example_id
+  FROM ch
+)
+SELECT shard, example_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM offs GROUP BY shard, example_id
+"""
+
+
 TOKEN_QUERIES: dict[str, tuple] = {
     "tokens_chunk_windows": (q_tokens_chunk_windows, SQL_TOKENS_CHUNK),
     "tokens_vocab_topk": (q_tokens_vocab_topk, SQL_TOKENS_VOCAB),
     "tokens_hash_split": (q_tokens_hash_split, SQL_TOKENS_SPLIT),
+    "tokens_contamination": (q_tokens_contamination, SQL_TOKENS_CONTAM),
+    "tokens_clean_train": (q_tokens_clean_train, SQL_TOKENS_CLEAN),
+    "tokens_pack_examples": (q_tokens_pack_examples, SQL_TOKENS_PACK),
 }

@@ -293,3 +293,68 @@ def test_hash_split_is_deterministic_and_subset_stable(spark, docs):
     assert frac > 0.9  # 98% band, small-sample slack
     with pytest.raises(ValueError):
         tokenize.hash_split(docs, weights={"train": 50, "val": 1})
+
+
+def test_contamination_pairs_match_bruteforce(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    n = 3
+    pairs = {
+        (r["train_doc"], r["eval_doc"]): r["n_shared"]
+        for r in tokenize.contamination_pairs(docs, n=n).collect()
+    }
+    # brute-force recomputation in plain Python
+    rows = docs.select("doc_id", "text").collect()
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"split-v1:{doc_id}".encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    grams = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        grams[r["doc_id"]] = {
+            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+        }
+    expect = {}
+    for t, tg in grams.items():
+        if bucket(t) >= tokenize.TRAIN_PCT:
+            continue
+        for e, eg in grams.items():
+            if bucket(e) < tokenize.TRAIN_PCT:
+                continue
+            shared = len(tg & eg)
+            if shared:
+                expect[(t, e)] = shared
+    assert pairs == expect
+    clean = {r["doc_id"] for r in tokenize.decontaminate(docs, n=n).collect()}
+    train = {d for d in grams if bucket(d) < tokenize.TRAIN_PCT}
+    assert clean == train - {t for t, _ in expect}
+
+
+def test_pack_examples_conserves_tokens_and_bounds_overflow(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    max_len, stride, cap = 32, 24, 64
+    ex = tokenize.pack_examples(
+        docs, max_len=max_len, stride=stride, capacity=cap
+    ).collect()
+    total = sum(r["n_tokens"] for r in ex)
+    # conservation: packed tokens == sum of chunk lengths
+    chunk_total = (
+        tokenize.chunk_tokens(docs, max_len=max_len, stride=stride).count()
+    )
+    assert total == chunk_total
+    for r in ex:
+        assert r["n_chunks"] >= 1 and r["n_docs"] >= 1
+        # a chunk straddling the boundary can overflow by < max_len
+        assert r["n_tokens"] < cap + max_len
+    # example ids are dense 0..max per shard (offsets are contiguous)
+    by_shard = {}
+    for r in ex:
+        by_shard.setdefault(r["shard"], set()).add(r["example_id"])
+    for ids in by_shard.values():
+        assert ids == set(range(max(ids) + 1))
+    with pytest.raises(ValueError):
+        tokenize.pack_examples(docs, max_len=32, capacity=16)

@@ -54,6 +54,13 @@ AUDIT = {
     "dedup_simhash_pairs": ["HashAggregate"],
     "ann_kmeans_centroids": ["HashAggregate"],
     "ann_ivf_kmeans_topk": ["HashAggregate"],
+    # token-pipeline ops: chunking must stay an unshuffled generate chain;
+    # the eval gram side of the decontamination join must broadcast; the
+    # vocab top-k must be a TakeOrderedAndProject, not a global sort
+    "tokens_chunk_windows": ["Generate"],
+    "tokens_vocab_topk": ["TakeOrderedAndProject", "HashAggregate"],
+    "tokens_contamination": ["BroadcastHashJoin", "HashAggregate"],
+    "tokens_pack_examples": ["Window", "HashAggregate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -73,6 +80,13 @@ PER_QUERY_FORBIDDEN = {
     # stay hash-aggregated.
     "ann_kmeans_centroids": ["SortAggregate"],
     "ann_ivf_kmeans_topk": ["SortAggregate"],
+    # chunking is map-stage work: any Exchange means the explode chain
+    # started shuffling; hash-split is a pure projection
+    "tokens_chunk_windows": ["Exchange"],
+    "tokens_hash_split": ["Exchange"],
+    # the train gram side must never broadcast or self-join — only the
+    # 2% eval side is the build side
+    "tokens_contamination": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 

@@ -211,6 +211,98 @@ def run_cdc_incremental(
     return out
 
 
+def run_vocab_maintenance(
+    spark,
+    n_seed: int = 500_000,
+    n_batches: int = 5,
+    batch_rows: int = 20_000,
+    n_docs: int = 200_000,
+) -> dict:
+    """Incremental-view-maintenance bench (cdc/aggregates.py): seed a
+    table with the token-vocab aggregate maintained, apply micro-batches,
+    and report the per-batch maintenance overhead (outbox stage + fold)
+    against the O(corpus) alternative — recomputing the aggregate from
+    the final table state. At 10^10 events the recompute is a full-table
+    token-array scan per refresh; maintenance stays O(delta)."""
+    from pyspark.sql import functions as F
+
+    from file_standardization_etl_spark.cdc.apply import CdcEngine
+    from file_standardization_etl_spark.cdc.events import spark_generate_events
+
+    work = tempfile.mkdtemp(prefix="bench_vocab_")
+    eng = CdcEngine(
+        spark, os.path.join(work, "lake"), n_buckets=64, maintain_vocab=True
+    )
+    eng.init()
+    eng.apply_batch(
+        spark_generate_events(spark, n_seed, n_docs=n_docs, lsn_start=1), batch_id=0
+    )
+
+    out = {}
+    lsn = n_seed + 1
+    batch_id = 1
+    # same seeded table, two fold policies back-to-back: per-merge folding
+    # vs outbox amortization (reads stay exact — fold-on-read)
+    for label, fe in (("fold_every_1", 1), ("fold_every_4", 4)):
+        eng._vocab.fold_every = fe
+        base_stage = eng.timings.get("vocab_stage", 0.0)
+        base_fold = eng.timings.get("vocab_fold", 0.0)
+        t0 = time.time()
+        for _ in range(n_batches):
+            eng.apply_batch(
+                spark_generate_events(spark, batch_rows, n_docs=n_docs, lsn_start=lsn),
+                batch_id=batch_id,
+            )
+            lsn += batch_rows
+            batch_id += 1
+        t_drain = time.time()
+        eng._vocab.fold_ready()  # charge the deferred folds to this window
+        drain = time.time() - t_drain
+        wall = time.time() - t0
+        stage_sec = eng.timings.get("vocab_stage", 0.0) - base_stage
+        fold_sec = eng.timings.get("vocab_fold", 0.0) - base_fold + drain
+        per_batch = (stage_sec + fold_sec) / n_batches
+        out[label] = {
+            "maintain_sec_per_batch": round(per_batch, 3),
+            "stage_sec_per_batch": round(stage_sec / n_batches, 3),
+            "fold_sec_per_batch": round(fold_sec / n_batches, 3),
+            "incremental_wall_sec": round(wall, 2),
+        }
+
+    n_vocab = eng.vocab().count()
+    t1 = time.time()
+    recompute = (
+        eng.state()
+        .select(F.explode("tokens").alias("t"))
+        .groupBy(F.col("t").cast("bigint").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .count()
+    )
+    recompute_sec = time.time() - t1
+    assert recompute >= n_vocab  # recompute includes nothing vocab misses
+    shutil.rmtree(work, ignore_errors=True)
+    best = min(v["maintain_sec_per_batch"] for v in out.values())
+    out.update(
+        {
+            "maintain_sec_per_batch": best,
+            "recompute_sec": round(recompute_sec, 3),
+            # maintenance cost is flat in corpus size (delta-bounded);
+            # the recompute is a full token-array scan — linear. The
+            # ratio at this sf understates the 10^10-event gap by the
+            # corpus-size ratio.
+            "refresh_speedup_vs_recompute": round(recompute_sec / max(best, 1e-9), 2),
+            "n_vocab_tokens": n_vocab,
+            "config": {
+                "n_seed": n_seed,
+                "n_batches": n_batches,
+                "batch_rows": batch_rows,
+                "n_docs": n_docs,
+            },
+        }
+    )
+    return out
+
+
 def _time_streaming_ops(
     spark, log_dir: str, work: str, repeats: int = 2
 ) -> tuple[dict, dict]:
@@ -454,8 +546,10 @@ def main():
     # contention; a single sample regularly misreports steady state
     cdc = run_cdc_replay(spark, args.events, repeats=2)
     cdc["incremental"] = run_cdc_incremental(spark)
+    cdc["vocab_maintenance"] = run_vocab_maintenance(spark)
     queries = {"cdc_full_replay": cdc["replay_sec"]}
     queries["cdc_incremental_batch"] = cdc["incremental"]["auto"]["sec_per_batch"]
+    queries["vocab_maintain_batch"] = cdc["vocab_maintenance"]["maintain_sec_per_batch"]
     query_runs = {"cdc_full_replay": cdc["replay_runs_sec"]}
     queries.update(cdc.pop("streaming_ops"))
     query_runs.update(cdc.pop("streaming_ops_runs"))

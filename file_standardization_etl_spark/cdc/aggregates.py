@@ -1,0 +1,339 @@
+"""Incrementally-maintained derived aggregates over the CDC target table.
+
+``TokenVocab`` is incremental view maintenance (IVM) of the corpus-wide
+token-frequency view
+
+    SELECT token, count(*) AS n_occ, count(DISTINCT doc) AS n_docs
+    FROM state LATERAL VIEW explode(tokens) AS token
+
+kept transactionally consistent with the target table under crash/resume.
+A full recompute scans every token array in the table — O(corpus) per
+refresh, the thing you cannot afford at 10^10 events. The maintained
+version costs O(delta) per micro-batch: the chunk's count delta is
+
+    + tokens of each LWW winner that actually replaces state
+    - tokens of each row it replaces (read from the PRE-merge snapshot,
+      bucket-pruned to the chunk's affected buckets)
+
+with the same take-new condition as the merge resolver (``new.lsn >
+old.last_lsn``), so the aggregate can never drift from the table even
+under out-of-order or duplicate delivery.
+
+Exactly-once across crashes — transactional outbox: the delta is staged
+to a durable pending dir BEFORE the chunk's target merge commits and
+folded into the vocab lake table AFTER. Recovery compares each pending
+dir's recorded watermark with the target's committed watermark:
+
+    folded marker already covers it  -> drop (fold committed, delete died)
+    target watermark >= its watermark -> fold (merge committed, fold died)
+    target watermark <  its watermark -> drop (merge never committed; the
+                                        chunk will be redelivered and the
+                                        delta re-staged bit-identically)
+
+The vocab table itself is a LakeTable keyed by token with an accumulating
+resolver (``old.n_occ + delta``) — per the :meth:`LakeTable.merge`
+contract an accumulating resolver requires copy-on-write mode, which is
+what ``fold`` uses; the table is vocabulary-sized, so CoW rewrites stay
+trivially cheap even when the target table is petabytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+
+VOCAB_COLUMNS = [("token", "bigint"), ("n_occ", "bigint"), ("n_docs", "bigint")]
+
+
+class TokenVocab:
+    """Binds the pending-delta outbox + vocab LakeTable for one engine."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        target: LakeTable,
+        fids: tuple[int, int, int, int],
+        n_buckets: int = 8,
+        # fold the outbox into the vocab table every N staged deltas.
+        # 1 = fold right after each merge (vocab always materialized
+        # fresh); >1 amortizes the fold's fixed cost across batches —
+        # reads stay exact either way because :meth:`counts` folds every
+        # ready pending delta first (fold-on-read), and crash recovery
+        # already replays arbitrary backlogs.
+        fold_every: int = 1,
+    ):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.target = target
+        # target-table field ids for (key, tokens, last_lsn, deleted) —
+        # id-based so a rename_column mid-stream never breaks the old-side
+        # read, same binding rule as the merge resolver
+        self._fid_doc, self._fid_tokens, self._fid_lsn, self._fid_deleted = fids
+        self.n_buckets = n_buckets
+        self.fold_every = max(1, int(fold_every))
+        self.table = LakeTable(spark, os.path.join(self.root, "vocab"))
+        self.pending_dir = os.path.join(self.root, "vocab_pending")
+
+    # ---------- lifecycle ----------
+
+    def init(self) -> None:
+        if not self.table.exists():
+            LakeTable.create(
+                self.spark,
+                self.table.path,
+                VOCAB_COLUMNS,
+                key_column="token",
+                n_buckets=self.n_buckets,
+                properties={"folded_batch": -1, "folded_chunk": -1},
+            )
+        os.makedirs(self.pending_dir, exist_ok=True)
+        self.recover()
+
+    def _marker(self) -> tuple[int, int]:
+        p = self.table.properties()
+        return (int(p.get("folded_batch", -1)), int(p.get("folded_chunk", -1)))
+
+    def _pending(self) -> list[tuple[str, dict | None]]:
+        out = []
+        for name in sorted(os.listdir(self.pending_dir)):
+            pend = os.path.join(self.pending_dir, name)
+            meta_path = os.path.join(pend, "meta.json")
+            meta = None
+            if os.path.isfile(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            out.append((pend, meta))
+        return out
+
+    def fold_ready(self) -> int:
+        """Fold every pending delta whose target merge has committed
+        (watermark at or below the target's applied LSN); returns how
+        many folded. A backlog folds as ONE combined merge (union the
+        staged parquet, re-sum by token, single commit at the max
+        marker) — this is what makes ``fold_every > 1`` an amortization
+        instead of a deferral. Pendings beyond the watermark are left in
+        place — mid-run that just means their merge hasn't happened yet."""
+        applied = int(self.target.properties().get("max_applied_lsn", 0))
+        marker = self._marker()
+        ready = []
+        for pend, meta in self._pending():
+            if meta is None or int(meta["watermark"]) > applied:
+                continue
+            if (int(meta["batch_id"]), int(meta["chunk"])) <= marker:
+                shutil.rmtree(pend, ignore_errors=True)  # fold committed, delete died
+            else:
+                ready.append((pend, meta))
+        if not ready:
+            return 0
+        if len(ready) == 1:
+            self.fold(ready[0][0])
+            return 1
+        d = (
+            self.spark.read.parquet(*[os.path.join(p, "data") for p, _ in ready])
+            .groupBy("token")
+            .agg(F.sum("d_occ").alias("d_occ"), F.sum("d_docs").alias("d_docs"))
+        )
+        mark = max((int(m["batch_id"]), int(m["chunk"])) for _, m in ready)
+        self.table.merge(
+            d,
+            self._resolve,
+            properties_update={"folded_batch": mark[0], "folded_chunk": mark[1]},
+            delta_rows=sum(int(m.get("n_rows", 0)) for _, m in ready),
+            affected_buckets=list(range(self.table.snapshot()["n_buckets"])),
+            mode="cow",
+        )
+        for pend, _ in ready:
+            shutil.rmtree(pend, ignore_errors=True)
+        return len(ready)
+
+    def maybe_fold(self) -> None:
+        """Post-merge hook: fold once the outbox reaches ``fold_every``."""
+        ready = [m for _, m in self._pending() if m is not None]
+        if len(ready) >= self.fold_every:
+            self.fold_ready()
+
+    def recover(self) -> None:
+        """Apply or discard pending deltas left by a crash (see module
+        docstring for the three-way decision)."""
+        applied = int(self.target.properties().get("max_applied_lsn", 0))
+        for pend, meta in self._pending():
+            if meta is None:
+                # crash mid-stage (meta is written last): never folded,
+                # never committed against — redelivery re-stages it
+                shutil.rmtree(pend, ignore_errors=True)
+            elif int(meta["watermark"]) <= applied:
+                self.fold(pend)
+            else:
+                # merge never committed: the chunk will be redelivered
+                # and the delta re-staged bit-identically
+                shutil.rmtree(pend, ignore_errors=True)
+
+    # ---------- per-chunk maintenance ----------
+
+    def stage_delta(
+        self,
+        batch_id: int,
+        chunk: int,
+        delta: DataFrame,
+        affected_buckets: list[int],
+        watermark: int,
+    ) -> str | None:
+        """Compute the signed (token, d_occ, d_docs) delta for one chunk
+        against the PRE-merge snapshot and stage it durably. Must run
+        before the chunk's target merge; returns the pending dir.
+
+        ``delta`` is the LWW-deduped winner set (wire column names, one
+        row per doc_id). Plan shape: the old side is a bucket-pruned,
+        column-pruned snapshot read inner-joined to the broadcast winner
+        keys — delta-sized from the first join on; the explodes and count
+        aggregation therefore touch O(delta) token arrays, never the
+        table.
+        """
+        names = {c.id: c.name for c in self.target.schema().columns}
+        key = names[self._fid_doc]
+        old = (
+            self.target.read(buckets=affected_buckets)
+            .select(
+                F.col(key).alias("doc_id"),
+                F.col(names[self._fid_lsn]).alias("__old_lsn"),
+                F.coalesce(F.col(names[self._fid_deleted]), F.lit(False)).alias(
+                    "__old_del"
+                ),
+                F.col(names[self._fid_tokens]).alias("__old_toks"),
+            )
+            .join(F.broadcast(delta.select("doc_id")), "doc_id")
+        )
+        j = delta.select("doc_id", "lsn", "op", "tokens").join(
+            F.broadcast(old), "doc_id", "left"
+        )
+        take = F.col("__old_lsn").isNull() | (F.col("lsn") > F.col("__old_lsn"))
+        empty = F.array().cast("array<bigint>")
+        plus_arr = F.when(
+            take & (F.col("op") != "delete"),
+            F.col("tokens").cast("array<bigint>"),
+        ).otherwise(empty)
+        minus_arr = F.when(
+            take & ~F.coalesce(F.col("__old_del"), F.lit(True)),
+            F.coalesce(F.col("__old_toks").cast("array<bigint>"), empty),
+        ).otherwise(empty)
+        # ONE pass over the join: both signed sides are concatenated as
+        # (token, sign) structs and exploded together — a plus/minus
+        # union of two branches would recompute the join (and the
+        # old-side table read) twice
+        signed = j.select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        plus_arr,
+                        lambda x: F.struct(x.alias("t"), F.lit(1).alias("s")),
+                    ),
+                    F.transform(
+                        minus_arr,
+                        lambda x: F.struct(x.alias("t"), F.lit(-1).alias("s")),
+                    ),
+                )
+            ).alias("ts"),
+        ).select("doc_id", F.col("ts.t").alias("token"), F.col("ts.s").alias("sign"))
+        per = signed.groupBy("doc_id", "token").agg(
+            F.sum("sign").alias("d_occ"),
+            # doc-frequency delta: present-in-new minus present-in-old
+            (
+                F.max(F.col("sign") == 1).cast("long")
+                - F.max(F.col("sign") == -1).cast("long")
+            ).alias("d_docs"),
+        )
+        counts = (
+            per.groupBy("token")
+            .agg(F.sum("d_occ").alias("d_occ"), F.sum("d_docs").alias("d_docs"))
+            .filter((F.col("d_occ") != 0) | (F.col("d_docs") != 0))
+        )
+        pend = os.path.join(self.pending_dir, f"b{batch_id:010d}_c{chunk:05d}")
+        data_dir = os.path.join(pend, "data")
+        from pyspark.sql import Observation
+
+        obs = Observation(f"vocab-stage-{batch_id}-{chunk}")
+        counts.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        n_rows = int(obs.get.get("n") or 0)
+        # meta last: a dir without meta.json is a crashed stage and is
+        # swept, never folded
+        tmp = os.path.join(pend, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "chunk": chunk,
+                    "watermark": int(watermark),
+                    "n_rows": n_rows,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(pend, "meta.json"))
+        return pend
+
+    @staticmethod
+    def _resolve(old: dict, new: dict) -> dict:
+        # BOTH sides nullable (merge contract): an untouched old row in
+        # an affected bucket arrives with an all-null new side —
+        # `old + NULL` would null its counts, so coalesce every term
+        zero = F.lit(0).cast("long")
+        return {
+            "token": F.coalesce(old["token"], new["token"]),
+            "n_occ": F.coalesce(old["n_occ"], zero) + F.coalesce(new["d_occ"], zero),
+            "n_docs": F.coalesce(old["n_docs"], zero)
+            + F.coalesce(new["d_docs"], zero),
+        }
+
+    def fold(self, pend: str) -> None:
+        """Fold one staged delta into the vocab table (idempotent: a
+        pending dir at or below the folded marker is dropped unapplied)."""
+        with open(os.path.join(pend, "meta.json")) as f:
+            meta = json.load(f)
+        mark = (int(meta["batch_id"]), int(meta["chunk"]))
+        if mark <= self._marker():
+            shutil.rmtree(pend, ignore_errors=True)
+            return
+        d = self.spark.read.parquet(os.path.join(pend, "data"))
+        resolve = self._resolve
+
+        # accumulating resolver -> CoW required (LakeTable.merge contract).
+        # affected = every vocab bucket (a token delta spreads across the
+        # hash space; "all" is the correct superset and skips the
+        # distinct-collect job) and delta_rows from the stage Observation
+        # skips the count job — the fold runs exactly one Spark action.
+        self.table.merge(
+            d,
+            resolve,
+            properties_update={"folded_batch": mark[0], "folded_chunk": mark[1]},
+            delta_rows=int(meta.get("n_rows", 0)),
+            affected_buckets=list(range(self.table.snapshot()["n_buckets"])),
+            mode="cow",
+        )
+        shutil.rmtree(pend, ignore_errors=True)
+
+    # ---------- reader ----------
+
+    def counts(self) -> DataFrame:
+        """(token, n_occ, n_docs) for every token with live occurrences.
+        Folds any ready outbox backlog first, so reads are exact even
+        with ``fold_every > 1``. Zero rows (every occurrence
+        deleted/replaced away) are retained physically and filtered here
+        — cheaper than delete-on-zero churn for tokens that oscillate in
+        and out of the corpus."""
+        self.fold_ready()
+        return (
+            self.table.read()
+            .filter(F.col("n_occ") > 0)
+            .select("token", "n_occ", "n_docs")
+        )

@@ -123,6 +123,14 @@ class CdcEngine:
         # delta / deep stack folds back copy-on-write. "cow" forces the
         # round-2 behavior (every merge rewrites its affected buckets).
         merge_mode: str = "auto",
+        # maintain the token-frequency aggregate (cdc/aggregates.py)
+        # incrementally alongside every merge — O(delta) per chunk vs
+        # O(corpus) per recompute; opt-in because it adds a bucket-pruned
+        # old-side read + two explode passes per chunk
+        maintain_vocab: bool = False,
+        # fold the vocab outbox every N staged deltas (amortizes the
+        # fold's fixed cost; reads stay exact via fold-on-read)
+        vocab_fold_every: int = 1,
     ):
         self.spark = spark
         self.table_path = os.path.abspath(table_path)
@@ -139,6 +147,17 @@ class CdcEngine:
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
         self.table = LakeTable(spark, os.path.join(self.table_path, "target"))
+        self._vocab = None
+        if maintain_vocab:
+            from .aggregates import TokenVocab
+
+            self._vocab = TokenVocab(
+                spark,
+                self.table_path,
+                self.table,
+                fids=(FID_DOC, FID_TOKENS, FID_LSN, FID_DELETED),
+                fold_every=vocab_fold_every,
+            )
         # one pool per engine: quarantine writes + lineage scans run as
         # concurrent Spark jobs overlapping the LWW/merge critical path
         self._pool = ThreadPoolExecutor(max_workers=4)
@@ -173,6 +192,10 @@ class CdcEngine:
         if os.path.isdir(stg):
             for d in os.listdir(stg):
                 shutil.rmtree(os.path.join(stg, d), ignore_errors=True)
+        # vocab outbox lives OUTSIDE _staging (the sweep above must never
+        # eat a committed-but-unfolded delta); recover() folds or drops it
+        if self._vocab is not None:
+            self._vocab.init()
 
     def applied_lsn(self) -> int:
         return int(self.table.properties().get("max_applied_lsn", 0))
@@ -198,6 +221,13 @@ class CdcEngine:
             .add("batch_id", T.LongType())
             .add("chunk", T.IntegerType())
         )
+
+    def vocab(self) -> DataFrame:
+        """(token, n_occ, n_docs) — the incrementally-maintained corpus
+        token-frequency aggregate (requires ``maintain_vocab=True``)."""
+        if self._vocab is None:
+            raise ValueError("engine was created with maintain_vocab=False")
+        return self._vocab.counts()
 
     def quarantine(self) -> DataFrame:
         # Existence-gated like the staging reads (ADVICE r1): an absent
@@ -349,6 +379,7 @@ class CdcEngine:
         batch_id: int,
         affected_buckets: list[int] | None = None,
         delta_bytes: int | None = None,
+        pre_commit=None,
     ) -> None:
         n = self._names()
         key = n[FID_DOC]
@@ -411,6 +442,7 @@ class CdcEngine:
             affected_buckets=affected_buckets,
             delta_bytes=delta_bytes,
             mode=self.merge_mode,
+            pre_commit=pre_commit,
         )
 
     # ---------- apply one micro-batch ----------
@@ -708,12 +740,39 @@ class CdcEngine:
                 # even an all-quarantined chunk advances the watermark
                 # (merge with an empty delta commits properties only)
                 watermark = max(applied, chunk_lsn_max or applied)
+                stage_future = None
+                if self._vocab is not None and n_delta > 0:
+                    # outbox stage: the delta is computed against the
+                    # pre-merge snapshot (CoW writes new files, MOR
+                    # appends — the snapshot this read planned against is
+                    # immutable) and runs CONCURRENTLY with the merge's
+                    # compute; the merge's pre_commit hook joins it, so
+                    # the outbox is durable strictly before the watermark
+                    # advances — a crash on either side of the commit
+                    # resolves exactly-once (see cdc/aggregates.py)
+                    def _stage(
+                        _b=batch_id, _c=ci, _d=delta, _a=affected, _w=watermark
+                    ):
+                        t0 = time.time()
+                        p = self._vocab.stage_delta(_b, _c, _d, _a, _w)
+                        self.timings["vocab_stage"] = (
+                            self.timings.get("vocab_stage", 0.0) + time.time() - t0
+                        )
+                        return p
+
+                    stage_future = self._pool.submit(_stage)
                 self._merge_chunk(
                     delta, n_delta, watermark, batch_id,
                     affected_buckets=affected, delta_bytes=delta_bytes,
+                    pre_commit=(
+                        stage_future.result if stage_future is not None else None
+                    ),
                 )
                 _mark("merge")
                 applied = watermark
+                if stage_future is not None:
+                    self._vocab.maybe_fold()
+                    _mark("vocab_fold")
 
             winners.unpersist()
             if q_future is not None:

@@ -727,6 +727,7 @@ class LakeTable:
         affected_buckets: list[int] | None = None,
         delta_bytes: int | None = None,
         mode: str = "cow",
+        pre_commit=None,
     ) -> None:
         """Bucket-pruned MERGE: join current state of *affected buckets only*
         with ``delta`` on the key and let ``apply_fn(old_cols, new_cols)``
@@ -796,6 +797,15 @@ class LakeTable:
           FOLDS the accumulated stack back into the base — compaction
           happens as a natural consequence of the policy, no separate
           scheduler needed.
+
+        ``pre_commit``, when given, is invoked after all data is written
+        but immediately before the snapshot commit, on every exit path
+        that commits. If it raises, the merge aborts uncommitted (the
+        written files are unreferenced stragglers swept by GC). Lets a
+        caller overlap side-work with the merge's compute while still
+        ordering it strictly before the commit — the CDC engine joins
+        its vocab-outbox stage here (transactional-outbox ordering:
+        stage durable before watermark advance).
         """
         import time
 
@@ -823,6 +833,8 @@ class LakeTable:
             else [r["_bucket"] for r in delta.select("_bucket").distinct().collect()]
         )
         if not affected:
+            if pre_commit is not None:
+                pre_commit()
             if properties_update:
                 snap["properties"].update(properties_update)
                 self._commit(snap, v)
@@ -908,6 +920,8 @@ class LakeTable:
                 e["deltas"] = list(e.get("deltas", [])) + [item]
                 add[str(b)] = e
             self._files_replace(snap, [], add, v + 1)
+            if pre_commit is not None:
+                pre_commit()
             if properties_update:
                 snap["properties"].update(properties_update)
             self._commit(snap, v)
@@ -990,6 +1004,8 @@ class LakeTable:
             },
             v + 1,
         )
+        if pre_commit is not None:
+            pre_commit()
         if properties_update:
             snap["properties"].update(properties_update)
         self._commit(snap, v)

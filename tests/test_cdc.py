@@ -428,7 +428,14 @@ def test_randomized_replay_matches_oracle(spark, tmp_path):
             events[lo:hi]
             for lo, hi in zip([0] + cuts, cuts + [n_events])
         ]
-        engine = make_engine(spark, tmp_path / f"case{case}")
+        engine = make_engine(
+            spark,
+            tmp_path / f"case{case}",
+            # vocab IVM rides along under the same randomized shapes —
+            # redelivery/DDL/disorder must leave the aggregate exact too
+            maintain_vocab=True,
+            vocab_fold_every=rng.choice([1, 3]),
+        )
         for i, sl in enumerate(slices):
             engine.apply_batch(events_df(spark, sl), batch_id=i)
             if rng.random() < 0.5:  # crash window: redeliver an old batch
@@ -449,3 +456,15 @@ def test_randomized_replay_matches_oracle(spark, tmp_path):
         }
         assert got == want, f"case {case}: state diverged"
         assert engine.quarantine().count() == len(oracle.quarantine), f"case {case}"
+        from collections import Counter
+
+        occ, docs = Counter(), Counter()
+        for v in oracle.live_docs().values():
+            occ.update(v["tokens"])
+            docs.update(set(v["tokens"]))
+        got_vocab = {
+            r["token"]: (r["n_occ"], r["n_docs"]) for r in engine.vocab().collect()
+        }
+        assert got_vocab == {t: (occ[t], docs[t]) for t in occ}, (
+            f"case {case}: vocab diverged"
+        )

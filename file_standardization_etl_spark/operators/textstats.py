@@ -66,6 +66,46 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document n-gram repetition profile (the Gopher/RefinedWeb
+    "repetitious document" quality rule): per doc, total n-word grams,
+    distinct grams, the occurrence count of the most-repeated gram, and
+    the duplicate fraction in exact integer permille
+    ((n_grams - n_distinct) * 1000 div n_grams) — integers only, so the
+    cross-engine compare is bitwise.
+
+    Scale shape: grams are exploded and counted with a two-level
+    hash-aggregate — (doc_id, gram) partial counts combine map-side, then
+    the per-doc rollup groups on doc_id alone. The shuffle key includes
+    the gram hash, so a single pathological document cannot hot-spot one
+    reducer in the first stage; the second stage moves one row per
+    (doc, distinct gram). Docs shorter than n words emit no grams (same
+    rule as the decontamination scan in operators/tokenize.py).
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+    grams = (
+        f"transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> md5(concat_ws(' ', {parts})))"
+    )
+    per_gram = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("occ").alias("max_occ"),
+        F.expr("CAST((sum(occ) - count(1)) * 1000 DIV sum(occ) AS BIGINT)").alias(
+            "dup_permille"
+        ),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprints: md5 of the normalized text and a 1-seed
     MinHash over word bigrams (rolling-hash analog, portable md5 basis)."""

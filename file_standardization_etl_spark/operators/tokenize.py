@@ -191,6 +191,30 @@ def decontaminate(docs: DataFrame, n: int = 8, salt: str = "split-v1") -> DataFr
     return train.join(dirty, "doc_id", "left_anti")
 
 
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Training-mixture composition: per source, document count, token
+    count, and the source's share of the total token budget in exact
+    integer parts-per-million (n_tokens * 1_000_000 div total) —
+    the number a data-mixing stage feeds into per-source sampling rates.
+
+    Scale shape: one corpus scan into a partial-aggregated groupBy(source)
+    (sources are few — the shuffled state is one row per source per task);
+    the grand total is a second aggregate over that tiny frame, broadcast
+    back in. The corpus is never scanned twice and nothing is collected.
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 DIV _total AS BIGINT)").alias("weight_ppm"),
+    )
+
+
 def pack_examples(
     docs: DataFrame,
     max_len: int = 32,

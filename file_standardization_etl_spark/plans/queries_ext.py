@@ -535,6 +535,36 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
 """
 
 
+_REP_N = 3
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition profile: duplicate n-gram
+    fraction per document, exact-integer permille (two-level hash agg —
+    (doc, gram) partial counts, then a per-doc rollup)."""
+    return textstats.repetition_stats(load(spark, sf_dir, "documents"), n=_REP_N)
+
+
+SQL_TEXT_REPETITION = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(w) - {_REP_N - 1} + 1),
+           i -> md5(concat_ws(' ', {", ".join(f"w[i + {k}]" for k in range(_REP_N))}))
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= {_REP_N}
+),
+per AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(occ) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(occ) AS BIGINT) AS max_occ,
+       CAST((sum(occ) - count(*)) * 1000 // sum(occ) AS BIGINT) AS dup_permille
+FROM per GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing — fully oracle-checked: the mapInPandas kernel is a
 # deterministic md5-derived stub (operators/multimodal.py), and DuckDB has
@@ -643,6 +673,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
 }

@@ -186,7 +186,28 @@ FROM offs GROUP BY shard, example_id
 """
 
 
+def q_tokens_mixture_weights(spark, sf_dir):
+    """Training-mixture composition per source: doc/token counts plus the
+    source's exact-integer ppm share of the token budget (one scan, one
+    tiny-side broadcast for the grand total)."""
+    return tokenize.mixture_weights(load(spark, sf_dir, "documents"))
+
+
+SQL_TOKENS_MIXTURE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM per) AS BIGINT)
+         AS weight_ppm
+FROM per
+"""
+
+
 TOKEN_QUERIES: dict[str, tuple] = {
+    "tokens_mixture_weights": (q_tokens_mixture_weights, SQL_TOKENS_MIXTURE),
     "tokens_chunk_windows": (q_tokens_chunk_windows, SQL_TOKENS_CHUNK),
     "tokens_vocab_topk": (q_tokens_vocab_topk, SQL_TOKENS_VOCAB),
     "tokens_hash_split": (q_tokens_hash_split, SQL_TOKENS_SPLIT),

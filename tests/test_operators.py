@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from file_standardization_etl_spark.operators import (
+    tokenize,
     dedup_text,
     multimodal,
     similarity,
@@ -358,3 +359,34 @@ def test_pack_examples_conserves_tokens_and_bounds_overflow(spark, docs):
         assert ids == set(range(max(ids) + 1))
     with pytest.raises(ValueError):
         tokenize.pack_examples(docs, max_len=32, capacity=16)
+
+
+def test_repetition_stats_known_values(spark):
+    # "a b a b a b" has 4 trigrams: (a b a), (b a b), (a b a), (b a b)
+    # -> n_grams=4, n_distinct=2, max_occ=2, dup_permille=500
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "p q")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df, n=3).collect()}
+    assert out[1]["n_grams"] == 4
+    assert out[1]["n_distinct"] == 2
+    assert out[1]["max_occ"] == 2
+    assert out[1]["dup_permille"] == 500
+    # all-unique doc: 2 trigrams, zero duplication
+    assert out[2]["n_grams"] == 2 and out[2]["dup_permille"] == 0
+    # doc shorter than n words emits no row (same rule as decontamination)
+    assert 3 not in out
+
+
+def test_mixture_weights_ppm_sums_and_exactness(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e", "web"), (3, "f g h i j", "code")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in tokenize.mixture_weights(df).collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 5
+    assert out["code"]["n_docs"] == 1 and out["code"]["n_tokens"] == 5
+    # exact integer halves of a 10-token budget
+    assert out["web"]["weight_ppm"] == 500000
+    assert out["code"]["weight_ppm"] == 500000

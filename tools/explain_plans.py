@@ -61,6 +61,10 @@ AUDIT = {
     "tokens_vocab_topk": ["TakeOrderedAndProject", "HashAggregate"],
     "tokens_contamination": ["BroadcastHashJoin", "HashAggregate"],
     "tokens_pack_examples": ["Window", "HashAggregate"],
+    # repetition profile: both levels (doc,gram counts; per-doc rollup)
+    # must hash-aggregate with map-side partials
+    "text_repetition": ["HashAggregate", "Exchange"],
+    "tokens_mixture_weights": ["HashAggregate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -87,6 +91,9 @@ PER_QUERY_FORBIDDEN = {
     # the train gram side must never broadcast or self-join — only the
     # 2% eval side is the build side
     "tokens_contamination": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # the gram-count aggregate must never sort (a SortAggregate here
+    # would mean per-doc gram sorting crept into the hot two-level agg)
+    "text_repetition": ["SortAggregate", "CartesianProduct"],
 }
 
 

@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "scalar_dates",
     "ann_brute_topk",
     "text_quality",
+    "text_repetition",
     "tokens_contamination",
     "tokens_pack_examples",
 ]

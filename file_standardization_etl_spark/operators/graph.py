@@ -120,10 +120,15 @@ def connected_components_star(
 
     large-star(u): link every neighbor v > u to m = min(N(u) ∪ {u}).
     small-star(u): link every neighbor v ≤ u (plus u itself) to m.
-    Each op is one groupBy(u) over the current edges with map-side
-    combine for m, then an explode — no joins at all, which is why this
-    beats propagation on high-diameter graphs: information jumps
-    star-distance per round instead of hop-distance.
+    Each op is an all-scalar min HashAggregate per node (full map-side
+    combine) plus one equi-join of the edges back to their node's m —
+    the neighborhood is NEVER materialized as an array (a collect_set
+    would buffer a hub node's entire 10^7-edge neighborhood in one
+    aggregation buffer — the same degenerate-bucket OOM shape the
+    MinHash pre-filter exists for). Both sides of the join hash on `u`,
+    so the agg's exchange is reused for the join. This beats propagation
+    on high-diameter graphs: information jumps star-distance per round
+    instead of hop-distance.
     """
     sym = _symmetrize(edges, src, dst)
     # orient edges downhill once; (u, v) with v < u
@@ -136,19 +141,20 @@ def connected_components_star(
     def star(e: DataFrame, large: bool) -> DataFrame:
         # neighborhood view must be symmetric for the min to be correct
         both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        grouped = both.groupBy("u").agg(
-            F.min("v").alias("mn"), F.collect_set("v").alias("ns")
+        mins = both.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
         )
-        m = F.least(F.col("u"), F.col("mn"))
+        j = both.join(mins, on="u")
         if large:
-            targets = F.filter("ns", lambda x: x > F.col("u"))
-        else:
-            targets = F.array_union(
-                F.filter("ns", lambda x: x <= F.col("u")), F.array(F.col("u"))
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("t"), "m"
             )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("t"), "m"
+            ).union(mins.select(F.col("u").alias("t"), "m"))
         return (
-            grouped.select(m.alias("m"), F.explode(targets).alias("t"))
-            .filter(F.col("t") != F.col("m"))
+            out.filter(F.col("t") != F.col("m"))
             .select(F.col("t").alias("u"), F.col("m").alias("v"))
             .distinct()
         )

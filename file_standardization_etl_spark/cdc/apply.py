@@ -214,6 +214,25 @@ class CdcEngine:
             df = df.filter(~F.coalesce(F.col(n[FID_DELETED]), F.lit(False)))
         return df
 
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed between two target-table snapshots
+        (see :meth:`LakeTable.changes`): the engine emits a changelog a
+        downstream CDC consumer could itself tail. Column names are
+        bound by field id against the v_to snapshot, so a rename
+        between the versions cannot misalign the LSN/tombstone checks."""
+        from ..lake.table import TableSchema
+
+        snap_to = self.table.snapshot(v_to)
+        names = {
+            c.id: c.name for c in TableSchema.from_json(snap_to["schema"]).columns
+        }
+        return self.table.changes(
+            v_from,
+            v_to,
+            lsn_column=names[FID_LSN],
+            deleted_column=names[FID_DELETED],
+        )
+
     def _quarantine_schema(self) -> T.StructType:
         return (
             T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "schema_change"])

@@ -468,3 +468,81 @@ def test_randomized_replay_matches_oracle(spark, tmp_path):
         assert got_vocab == {t: (occ[t], docs[t]) for t in occ}, (
             f"case {case}: vocab diverged"
         )
+
+
+def _oracle_diff(events, k):
+    """Expected changelog between the state after events[:k] and the
+    final state: (op, doc_id) -> image dict (before for deletes)."""
+    live1 = replay(events[:k]).live_docs()
+    live2 = replay(events).live_docs()
+    out = {}
+    for d, v in live2.items():
+        if d not in live1:
+            out[("insert", d)] = v
+        elif v["last_lsn"] > live1[d]["last_lsn"]:
+            out[("update", d)] = v
+    for d, v in live1.items():
+        if d not in live2:
+            out[("delete", d)] = v
+    return out
+
+
+def test_changes_feed_matches_oracle_diff(spark, tmp_path):
+    """The table EMITS a changelog between snapshots: insert/update/
+    delete classification and before/after images must equal the dict
+    oracle's state diff."""
+    cfg = EventGenConfig(n_events=4000, n_docs=250, seed=23)
+    events = generate_events(cfg)
+    k = 2000
+    engine = make_engine(spark, tmp_path)
+    engine.apply_batch(events_df(spark, events[:k]), batch_id=0)
+    v1 = engine.table.current_version()
+    engine.apply_batch(events_df(spark, events[k:]), batch_id=1)
+    v2 = engine.table.current_version()
+
+    want = _oracle_diff(events, k)
+    got = {
+        (r["change_op"], r["doc_id"]): r
+        for r in engine.changes(v1, v2).collect()
+    }
+    assert set(got) == set(want)
+    assert any(op == "delete" for op, _ in got), "fixture produced no deletes"
+    assert any(op == "update" for op, _ in got)
+    for (op, d), r in got.items():
+        w = want[(op, d)]
+        assert list(r["tokens"] or []) == list(w["tokens"] or []), (op, d)
+        assert r["last_lsn"] == w["last_lsn"], (op, d)
+        assert r["source"] == w["source"], (op, d)
+
+    # identical snapshots -> manifest fast path, zero rows, right schema
+    none = engine.changes(v2, v2)
+    assert none.count() == 0
+    assert none.columns[0] == "change_op"
+
+
+def test_changes_feed_across_rename_and_widen(spark, tmp_path):
+    """A rename + widen between the two snapshots must not misalign the
+    diff: old side reconciled to the v_to schema by column id."""
+    cfg = EventGenConfig(
+        n_events=3000, n_docs=150, seed=31,
+        schema_change_lsns=(1500,),
+        schema_changes=(
+            {"action": "rename_column", "name": "source", "new_name": "origin"},
+        ),
+    )
+    events = generate_events(cfg)
+    k = 1000  # cut BEFORE the DDL: v1 has the old name, v2 the new
+    engine = make_engine(spark, tmp_path)
+    engine.apply_batch(events_df(spark, events[:k]), batch_id=0)
+    v1 = engine.table.current_version()
+    engine.apply_batch(events_df(spark, events[k:]), batch_id=1)
+    v2 = engine.table.current_version()
+
+    want = _oracle_diff(events, k)
+    feed = engine.changes(v1, v2)
+    assert "origin" in feed.columns and "source" not in feed.columns
+    got = {(r["change_op"], r["doc_id"]): r for r in feed.collect()}
+    assert set(got) == set(want)
+    for (op, d), r in got.items():
+        assert list(r["tokens"] or []) == list(want[(op, d)]["tokens"] or [])
+        assert r["origin"] == want[(op, d)]["source"], (op, d)

@@ -1111,7 +1111,9 @@ class LakeTable:
         if lsn_column and lsn_column in data_cols:
             advanced = F.col(f"__after.{lsn_column}") > F.col(f"__before.{lsn_column}")
         else:
-            advanced = F.col("__after") != F.col("__before")
+            # null-safe: a null field inside either image must read as a
+            # difference, not null out the whole predicate
+            advanced = ~F.col("__after").eqNullSafe(F.col("__before"))
         op = (
             F.when(~o_live & n_live, F.lit("insert"))
             .when(o_live & ~n_live, F.lit("delete"))

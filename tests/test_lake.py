@@ -354,3 +354,32 @@ def test_lake_level_bucket_column_ddl_rejected(spark, tmp_path):
     with _pytest.raises(ValueError, match="_bucket"):
         t.apply_schema_change({"action": "rename_column", "name": "v", "new_name": "_bucket"})
     assert t.schema().version == 1
+
+
+def test_changes_generic_table_without_lsn(spark, tmp_path):
+    """Changelog on a plain table (no LSN / tombstone columns): physical
+    deletes classify as delete with the before-image; updates fall back
+    to null-safe value comparison (a row with a null field that did not
+    change must NOT emit)."""
+    from file_standardization_etl_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        [("k", "string"), ("v", "bigint"), ("tag", "string")],
+        key_column="k", n_buckets=4,
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("b", 2, None), ("c", 3, "y"), ("d", 4, "x")],
+            "k string, v bigint, tag string",
+        )
+    )
+    v1 = t.current_version()
+    t.delete_where(F.col("tag") == "x")
+    t.update_where(F.col("v") >= 3, {"v": F.col("v") * 10, "tag": F.lit("big")})
+
+    got = {(r["change_op"], r["k"]): r for r in t.changes(v1).collect()}
+    assert set(got) == {("delete", "a"), ("delete", "d"), ("update", "c")}
+    assert got[("delete", "a")]["v"] == 1  # before-image
+    assert got[("update", "c")]["v"] == 30 and got[("update", "c")]["tag"] == "big"

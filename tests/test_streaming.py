@@ -229,3 +229,111 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_changefeed_follower_replicates_downstream(spark, tmp_path):
+    """Downstream chaining: a ChangeFeedFollower consuming the table's
+    snapshot log maintains an exact replica — including across a consumer
+    crash (window redelivered bit-identically, replica converges), a
+    coalesced multi-commit window, and idle polls costing zero windows."""
+    from file_standardization_etl_spark.streaming.changefeed import (
+        ChangeFeedFollower,
+    )
+
+    events = generate_events(EventGenConfig(n_events=3000, n_docs=150, seed=41))
+    engine = CdcEngine(spark, str(tmp_path / "cdc"))
+    engine.init()
+    names = {c.id: c.name for c in engine.table.schema().columns}
+    follower = ChangeFeedFollower(
+        engine.table,
+        str(tmp_path / "cursor.json"),
+        lsn_column=names[5],      # FID_LSN
+        deleted_column=names[6],  # FID_DELETED
+    )
+    assert follower.step(lambda *_: None) == 0  # idle poll: nothing new
+
+    replica: dict = {}
+
+    def consume(df, v_from, v_to):
+        for r in df.collect():
+            if r["change_op"] == "delete":
+                replica.pop(r["doc_id"], None)
+            else:
+                replica[r["doc_id"]] = (
+                    list(r["tokens"] or []), r["n_tok"], r["source"], r["last_lsn"]
+                )
+
+    engine.apply_batch(events_df(spark, events[:1000]), batch_id=0)
+    assert follower.step(consume) == 1
+
+    # two commits land before the next poll; coalesced into one window
+    engine.apply_batch(events_df(spark, events[1000:2000]), batch_id=1)
+    engine.apply_batch(events_df(spark, events[2000:]), batch_id=2)
+
+    # consumer crashes mid-window: cursor must NOT advance...
+    boom = {"n": 0}
+
+    def flaky(df, v_from, v_to):
+        boom["n"] += 1
+        raise RuntimeError("downstream died")
+
+    try:
+        follower.step(flaky)
+    except RuntimeError:
+        pass
+    assert boom["n"] == 1
+    # ...and the retry delivers the identical window to convergence
+    assert follower.step(consume) == 1
+
+    want = {
+        r["doc_id"]: (list(r["tokens"] or []), r["n_tok"], r["source"], r["last_lsn"])
+        for r in engine.state().collect()
+    }
+    assert replica == want
+    assert follower.step(consume) == 0  # caught up
+
+
+def test_changefeed_per_commit_backfill_matches_state(spark, tmp_path):
+    """coalesce=False replays commit by commit from genesis (seek(0)),
+    including schema-only commits (zero-row windows), and converges to
+    the same replica as the coalesced path."""
+    from file_standardization_etl_spark.streaming.changefeed import (
+        ChangeFeedFollower,
+    )
+
+    events = generate_events(
+        EventGenConfig(
+            n_events=2000, n_docs=100, seed=43,
+            schema_change_lsns=(900,),
+            schema_changes=(
+                {"action": "add_column", "name": "extra_cf", "type": "double"},
+            ),
+        )
+    )
+    engine = CdcEngine(spark, str(tmp_path / "cdc"))
+    engine.init()
+    engine.apply_batch(events_df(spark, events[:1200]), batch_id=0)
+    engine.apply_batch(events_df(spark, events[1200:]), batch_id=1)
+
+    names = {c.id: c.name for c in engine.table.schema().columns}
+    f = ChangeFeedFollower(
+        engine.table, str(tmp_path / "c2.json"),
+        lsn_column=names[5], deleted_column=names[6],
+    )
+    f.seek(0)
+    replica: dict = {}
+
+    def consume(df, v_from, v_to):
+        for r in df.collect():
+            if r["change_op"] == "delete":
+                replica.pop(r["doc_id"], None)
+            else:
+                replica[r["doc_id"]] = (list(r["tokens"] or []), r["last_lsn"])
+
+    n = f.step(consume, coalesce=False)
+    assert n >= 2  # one window per commit, not one overall
+    want = {
+        r["doc_id"]: (list(r["tokens"] or []), r["last_lsn"])
+        for r in engine.state().collect()
+    }
+    assert replica == want

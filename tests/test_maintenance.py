@@ -230,3 +230,39 @@ def test_compact_quarantine_archives_and_stays_idempotent(spark, tmp_path):
 
     oracle = replay(events)
     assert len(mid) == len(oracle.quarantine)
+
+
+def test_changefeed_job_exports_window(spark, tmp_path, monkeypatch):
+    """jobs/changefeed.py one-shot range export: the written parquet is
+    exactly the table's changes() output for that window."""
+    import os
+    import sys
+
+    events = generate_events(EventGenConfig(n_events=1500, n_docs=80, seed=47))
+    engine = CdcEngine(spark, str(tmp_path / "cdc"))
+    engine.init()
+    engine.apply_batch(events_df(spark, events[:700]), batch_id=0)
+    v1 = engine.table.current_version()
+    engine.apply_batch(events_df(spark, events[700:]), batch_id=1)
+    v2 = engine.table.current_version()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import changefeed as job
+
+    out = str(tmp_path / "feed")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["changefeed.py", "--table-dir", str(tmp_path / "cdc"),
+         "--from-version", str(v1), "--to-version", str(v2), "--out", out],
+    )
+    job.main()
+
+    exported = spark.read.parquet(os.path.join(out, f"v{v1:010d}-v{v2:010d}"))
+    want = {
+        (r["change_op"], r["doc_id"], r["last_lsn"])
+        for r in engine.changes(v1, v2).collect()
+    }
+    got = {
+        (r["change_op"], r["doc_id"], r["last_lsn"]) for r in exported.collect()
+    }
+    assert got == want and len(got) > 0

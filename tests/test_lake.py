@@ -383,3 +383,25 @@ def test_changes_generic_table_without_lsn(spark, tmp_path):
     assert set(got) == {("delete", "a"), ("delete", "d"), ("update", "c")}
     assert got[("delete", "a")]["v"] == 1  # before-image
     assert got[("update", "c")]["v"] == 30 and got[("update", "c")]["tag"] == "big"
+
+
+def test_changes_across_rebucket_falls_back_to_full_diff(spark, tmp_path):
+    """A rebucket between the two snapshots invalidates bucket-id
+    comparison; the diff must fall back to all buckets and stay exact."""
+    from file_standardization_etl_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "string"), ("v", "bigint")],
+        key_column="k", n_buckets=4,
+    )
+    t.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v bigint")
+    )
+    v1 = t.current_version()
+    t.rebucket(8)
+    t.update_where(F.col("k") == "b", {"v": F.lit(20)})
+    t.delete_where(F.col("k") == "c")
+
+    got = {(r["change_op"], r["k"], r["v"]) for r in t.changes(v1).collect()}
+    assert got == {("update", "b", 20), ("delete", "c", 3)}

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -182,16 +183,51 @@ class CdcEngine:
                 properties={"max_applied_lsn": 0, "last_batch_id": -1},
             )
         os.makedirs(self.manifest_dir, exist_ok=True)
-        # sweep staging leftovers from a crashed run: routed b{B}_c{C}
-        # dirs are replaced on redelivery anyway, but a quar_b{B}_c{C}
-        # that crashed between write and rename is never revisited
-        # (redelivery is LSN-filtered past finalize) — without this it
-        # leaks disk forever. Safe here: ingest is single-writer and this
-        # engine has not started its own staging yet.
+        # staging leftovers from a crashed run are RECOVERED, not swept:
+        # a crash between the merge's watermark commit and the async
+        # quarantine finalize would otherwise lose that chunk's
+        # quarantine rows forever (redelivery is LSN-filtered past
+        # finalize). Two shapes, both idempotent against redelivery —
+        # if the chunk's merge never committed, the redelivered finalize
+        # simply replaces the recovered dir with bit-identical content:
+        #   quar_b{B}_c{C}  reasons already assigned; crash was between
+        #                   write and rename — finish the rename.
+        #   b{B}_c{C}/route=q  crash before the reason pass — run it now.
+        # Anything else (route=d intermediates, unparseable names) is
+        # swept; the data path's correctness never depends on staging.
+        # Safe here: ingest is single-writer and this engine has not
+        # started its own staging yet.
         stg = os.path.join(self.table_path, "_staging")
         if os.path.isdir(stg):
-            for d in os.listdir(stg):
-                shutil.rmtree(os.path.join(stg, d), ignore_errors=True)
+            for d in sorted(os.listdir(stg)):
+                path = os.path.join(stg, d)
+                m = re.fullmatch(r"(quar_)?b(\d+)_c(\d+)", d)
+                if m:
+                    b, c = int(m.group(2)), int(m.group(3))
+                    qdir = os.path.join(
+                        self.quarantine_path, f"batch_id={b}", f"chunk={c}"
+                    )
+                    if not os.path.exists(qdir):
+                        if m.group(1):  # reasoned: finish the rename
+                            os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                            os.rename(path, qdir)
+                            continue
+                        qsrc = os.path.join(path, "route=q")
+                        if os.path.isdir(qsrc):
+                            mode = (
+                                "slim"
+                                if self.validation_mode == "hybrid"
+                                else self.validation_mode
+                            )
+                            reasoned = with_reason(
+                                self.spark.read.parquet(qsrc),
+                                self.whitelist,
+                                mode=mode,
+                            )
+                            if reasoned.limit(1).count() > 0:
+                                os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                                reasoned.write.mode("overwrite").parquet(qdir)
+                shutil.rmtree(path, ignore_errors=True)
         # vocab outbox lives OUTSIDE _staging (the sweep above must never
         # eat a committed-but-unfolded delta); recover() folds or drops it
         if self._vocab is not None:

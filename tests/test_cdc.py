@@ -546,3 +546,57 @@ def test_changes_feed_across_rename_and_widen(spark, tmp_path):
     for (op, d), r in got.items():
         assert list(r["tokens"] or []) == list(want[(op, d)]["tokens"] or [])
         assert r["origin"] == want[(op, d)]["source"], (op, d)
+
+
+def test_init_recovers_quarantine_staged_by_crashed_run(spark, tmp_path):
+    """A crash between the merge's watermark commit and the async
+    quarantine finalize must NOT lose that chunk's quarantine rows:
+    init() finishes the job from staging — both the reasoned-but-
+    unrenamed shape (quar_b*_c*) and the pre-reason shape (b*_c*/route=q)."""
+    import os
+    import shutil
+
+    from file_standardization_etl_spark.functions.validation import (
+        validation_reason_expr,
+    )
+    from pyspark.sql import functions as F
+
+    events = generate_events(EventGenConfig(n_events=2000, n_docs=100, seed=53))
+    engine = make_engine(spark, tmp_path)
+    engine.apply_batch(events_df(spark, events[:1000]), batch_id=0)
+    base = engine.quarantine().count()
+    assert base > 0
+
+    # fabricate the crash artifacts a dying run would leave behind
+    stg = os.path.join(engine.table_path, "_staging")
+    wire = events_df(spark, events[1000:]).drop("schema_change")
+    invalid = wire.filter(
+        validation_reason_expr(
+            F.col("op"), F.col("tokens"), F.col("n_tok"), F.col("source"),
+            engine.whitelist,
+        ).isNotNull()
+    )
+    n_inv = invalid.count()
+    assert n_inv > 0
+    # shape 1: crash before the reason pass
+    invalid.write.parquet(os.path.join(stg, "b1_c0", "route=q"))
+    # shape 2: crash between reasoned write and rename — reuse batch 0's
+    # already-reasoned rows under a new batch id
+    q0 = os.path.join(engine.quarantine_path, "batch_id=0", "chunk=0")
+    shutil.copytree(q0, os.path.join(stg, "quar_b2_c0"))
+    n_q0 = spark.read.parquet(q0).count()
+
+    fresh = CdcEngine(spark, engine.table_path)
+    fresh.init()
+    got = {
+        r["batch_id"]: r["n"]
+        for r in fresh.quarantine().groupBy("batch_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got[1] == n_inv, got
+    assert got[2] == n_q0, got
+    assert not os.listdir(stg)  # staging fully drained
+    # recovered rows carry real reasons, not nulls
+    assert fresh.quarantine().filter(
+        F.col("batch_id").isin(1, 2) & F.col("reason").isNull()
+    ).count() == 0

@@ -191,6 +191,62 @@ def decontaminate(docs: DataFrame, n: int = 8, salt: str = "split-v1") -> DataFr
     return train.join(dirty, "doc_id", "left_anti")
 
 
+def pack_payload(
+    docs: DataFrame,
+    max_len: int = 32,
+    stride: int = 24,
+    capacity: int = 64,
+    n_shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Materialized sequence packing: the actual packed token stream per
+    example, proven by fingerprint — (shard, example_id, n_chunks,
+    n_docs, n_tokens, example_md5) where example_md5 hashes the example's
+    tokens in their exact packed order (chunks laid end-to-end sorted by
+    (doc_id, chunk_id), same assignment rule as :func:`pack_examples`).
+    The hash makes the byte layout bitwise-checkable cross-engine without
+    emitting array columns.
+
+    Scale shape: identical to pack_examples except the chunk rows carry
+    their sliced token window; the per-example ``collect_list`` buffer is
+    BOUNDED by construction (an example covers ``capacity`` stream
+    tokens, so at most ``capacity`` chunks / ``capacity + max_len - 1``
+    tokens per buffer) — never a whole document, never a whole shard.
+    """
+    if capacity < max_len:
+        raise ValueError("capacity must be >= max_len")
+    shard = (F.expr(split_bucket_sql("doc_id", salt)) % n_shards).cast("int")
+    t = tokenized(docs).select("doc_id", shard.alias("shard"), "toks")
+    chunks = t.select(
+        "doc_id",
+        "shard",
+        "toks",
+        F.explode(F.expr(f"sequence(1, size(toks), {stride})")).alias("s"),
+    ).select(
+        "doc_id",
+        "shard",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_id"),
+        F.expr(f"slice(toks, s, {max_len})").alias("win"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+    offs = chunks.withColumn("n_tok", F.size("win")).withColumn(
+        "example_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("int"),
+    )
+    packed = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "chunk_id", "win"))),
+            lambda x: x["win"],
+        )
+    )
+    return offs.groupBy("shard", "example_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", packed)).alias("example_md5"),
+    )
+
+
 def mixture_weights(docs: DataFrame) -> DataFrame:
     """Training-mixture composition: per source, document count, token
     count, and the source's share of the total token budget in exact

@@ -206,8 +206,51 @@ FROM per
 """
 
 
+def q_tokens_pack_payload(spark, sf_dir):
+    """Materialized packing: per-example token-stream fingerprint (md5 of
+    the packed order) — proves the byte layout, not just the assignment;
+    collect buffers bounded by the example capacity."""
+    return tokenize.pack_payload(
+        load(spark, sf_dir, "documents"),
+        max_len=_MAX_LEN,
+        stride=_STRIDE,
+        capacity=_CAPACITY,
+        n_shards=_N_SHARDS,
+    )
+
+
+SQL_TOKENS_PAYLOAD = f"""
+WITH t AS (
+  SELECT doc_id, CAST(({_PACK_BUCKET}) % {_N_SHARDS} AS INT) AS shard,
+         list_transform(string_split(text, ' '),
+                        x -> substring(md5(x), 1, 8)) AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, shard, CAST((s - 1) // {_STRIDE} AS INT) AS chunk_id,
+         list_slice(toks, s, s + {_MAX_LEN} - 1) AS win
+  FROM (SELECT doc_id, shard, toks,
+               unnest(range(1, len(toks) + 1, {_STRIDE})) AS s FROM t)
+),
+offs AS (
+  SELECT shard, doc_id, chunk_id, win, len(win) AS n_tok,
+         CAST((sum(len(win)) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id)
+               - len(win)) // {_CAPACITY} AS INT) AS example_id
+  FROM ch
+)
+SELECT shard, example_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       md5(array_to_string(flatten(list(win ORDER BY doc_id, chunk_id)), ' '))
+         AS example_md5
+FROM offs GROUP BY shard, example_id
+"""
+
+
 TOKEN_QUERIES: dict[str, tuple] = {
     "tokens_mixture_weights": (q_tokens_mixture_weights, SQL_TOKENS_MIXTURE),
+    "tokens_pack_payload": (q_tokens_pack_payload, SQL_TOKENS_PAYLOAD),
     "tokens_chunk_windows": (q_tokens_chunk_windows, SQL_TOKENS_CHUNK),
     "tokens_vocab_topk": (q_tokens_vocab_topk, SQL_TOKENS_VOCAB),
     "tokens_hash_split": (q_tokens_hash_split, SQL_TOKENS_SPLIT),

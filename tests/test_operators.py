@@ -390,3 +390,23 @@ def test_mixture_weights_ppm_sums_and_exactness(spark):
     # exact integer halves of a 10-token budget
     assert out["web"]["weight_ppm"] == 500000
     assert out["code"]["weight_ppm"] == 500000
+
+
+def test_pack_payload_consistent_with_pack_examples(spark, docs):
+    """The materialized payload must agree with the assignment-only op on
+    every per-example stat, and its buffers stay capacity-bounded."""
+    kw = dict(max_len=32, stride=24, capacity=64, n_shards=4)
+    stats = {
+        (r["shard"], r["example_id"]): (r["n_chunks"], r["n_docs"], r["n_tokens"])
+        for r in tokenize.pack_examples(docs, **kw).collect()
+    }
+    payload = tokenize.pack_payload(docs, **kw).collect()
+    got = {
+        (r["shard"], r["example_id"]): (r["n_chunks"], r["n_docs"], r["n_tokens"])
+        for r in payload
+    }
+    assert got == stats
+    md5s = [r["example_md5"] for r in payload]
+    assert all(m and len(m) == 32 for m in md5s)
+    # a packed example never exceeds capacity + max_len - 1 tokens
+    assert all(r["n_tokens"] <= 64 + 32 - 1 for r in payload)

@@ -410,3 +410,18 @@ def test_pack_payload_consistent_with_pack_examples(spark, docs):
     assert all(m and len(m) == 32 for m in md5s)
     # a packed example never exceeds capacity + max_len - 1 tokens
     assert all(r["n_tokens"] <= 64 + 32 - 1 for r in payload)
+
+
+def test_repetition_stats_degenerate_doc_collapses_mapside(spark):
+    """A pathological document (one gram repeated 100k times) must flow
+    through the two-level hash agg without materializing per-occurrence
+    state anywhere: the (doc, gram) stage collapses map-side to one row."""
+    n = 100_000
+    df = spark.createDataFrame([(1, " ".join(["x"] * n)), (2, "a b c d")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df, n=3).collect()}
+    assert out[1]["n_grams"] == n - 2
+    assert out[1]["n_distinct"] == 1
+    assert out[1]["max_occ"] == n - 2
+    assert out[1]["dup_permille"] == (n - 3) * 1000 // (n - 2)
+    assert out[2]["dup_permille"] == 0

@@ -58,7 +58,14 @@ QUARANTINE_REASONS = ["null_tokens", "empty_tokens", "bad_n_tok", "bad_source"]
 # the merge — and by then the DDL would already be committed with the
 # watermark advanced past it, wedging the stream. Rejected at DDL
 # application time instead (apply_batch), before anything commits.
-WIRE_RESERVED = frozenset(f.name for f in EVENT_SCHEMA.fields) | {"route", "_bucket"}
+WIRE_RESERVED = frozenset(f.name for f in EVENT_SCHEMA.fields) | {
+    "route",
+    "_bucket",
+    # MOR delta layout columns (lake/table.py _resolve_mor): a user column
+    # by either name would make every merge-on-read table read ambiguous
+    "_seq",
+    "_tag",
+}
 
 # stable column ids in the target table (order passed to LakeTable.create)
 FID_DOC, FID_TOKENS, FID_NTOK, FID_SOURCE, FID_LSN, FID_DELETED = 1, 2, 3, 4, 5, 6

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -111,6 +112,15 @@ _WIDEN_OK = {
 def bucket_expr(key: Column, n_buckets: int) -> Column:
     """Deterministic bucket id for a key (engine-wide convention)."""
     return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
+# Column names the physical layout owns: '_bucket' (hash-bucket partition
+# column injected by _write_buckets/_write_delta) and '_seq'/'_tag' (MOR
+# delta commit-version / file-tag columns consumed by _resolve_mor). DDL
+# introducing a USER column by any of these names is rejected in
+# apply_schema_change — the collision would corrupt or wedge reads, not
+# error cleanly.
+LAYOUT_RESERVED = frozenset({"_bucket", "_seq", "_tag"})
 
 
 class CommitConflict(RuntimeError):
@@ -198,8 +208,15 @@ class LakeTable:
 
     @staticmethod
     def _entry_bytes(entry: dict) -> int:
+        """Bytes attributable to ONE bucket's entry. A MOR delta file is
+        shared by every bucket that references it, so its item carries
+        both ``bytes`` (true file size — what read() sums once per path
+        for the broadcast decision) and ``share_bytes`` (size apportioned
+        over the referencing buckets — what per-bucket accounting must
+        use, or a 64-bucket delta would be counted 64 times in the
+        compaction threshold, write-task sizing and manifest stats)."""
         return entry.get("bytes", 0) + sum(
-            d.get("bytes", 0) for d in entry.get("deltas", [])
+            d.get("share_bytes", d.get("bytes", 0)) for d in entry.get("deltas", [])
         )
 
     def _files_replace(
@@ -807,8 +824,6 @@ class LakeTable:
         its vocab-outbox stage here (transactional-outbox ordering:
         stage durable before watermark advance).
         """
-        import time
-
         _t = time.time()
         _timing = os.environ.get("SPARK_CDC_TIMING") == "1"
 
@@ -884,10 +899,33 @@ class LakeTable:
             # file and its column_ids: under an all-null old side they
             # would store null and clobber the base value at read time.
             # The MOR read falls back to the base row for absent columns.
+            # Dependence on the new side is read from the expression's
+            # attribute references (JVM expr, exact); the fallback for
+            # backends without py4j expression access matches the exact
+            # prefixed tokens `__n_<col>` — never a bare substring, which
+            # would also hit a USER column like 'x__n_y' inside its
+            # '__o_x__n_y' alias and silently null base values at read.
+            def _refs_new_side(ex: Column) -> bool:
+                try:
+                    it = ex._jc.expr().references().iterator()
+                    while it.hasNext():
+                        if it.next().name().startswith("__n_"):
+                            return True
+                    return False
+                except Exception:
+                    r = repr(ex)
+                    return any(
+                        re.search(
+                            rf"(?<![0-9A-Za-z_]){re.escape('__n_' + c)}(?![0-9A-Za-z_])",
+                            r,
+                        )
+                        for c in new_names
+                    )
+
             mor_names = [
                 nm
                 for nm, ex in out_exprs.items()
-                if nm == key or "__n_" in repr(ex)
+                if nm == key or _refs_new_side(ex)
             ]
             merged = (
                 ins_pref.select(*[out_exprs[nm].alias(nm) for nm in mor_names])
@@ -909,6 +947,7 @@ class LakeTable:
                 "schema_version": cur.version,
                 "seq": v + 1,
                 "bytes": dbytes,
+                "share_bytes": -(-dbytes // len(affected)),
                 "column_ids": [by_name[nm].id for nm in mor_names],
             }
             add = {}
@@ -1167,14 +1206,17 @@ class LakeTable:
         cur = TableSchema.from_json(snap["schema"])
         action = change["action"]
         cols = {c.name: c for c in cur.columns}
-        # '_bucket' is the layout partition column _write_buckets injects;
-        # a user column by that name would be silently overwritten with
-        # hash-bucket ids on the next rewrite — reject the DDL instead
+        # '_bucket' is the layout partition column _write_buckets injects
+        # (a user column by that name would be silently overwritten with
+        # hash-bucket ids on the next rewrite); '_seq'/'_tag' are the MOR
+        # delta columns _resolve_mor selects alongside the user columns (a
+        # user column by either name makes the resolver's select ambiguous
+        # and every read of a delta-carrying table fail). Reject the DDL.
         introduced = {"add_column": change.get("name"),
                       "rename_column": change.get("new_name")}.get(action)
-        if introduced == "_bucket":
+        if introduced in LAYOUT_RESERVED:
             raise ValueError(
-                f"{action} introducing reserved layout column '_bucket' rejected"
+                f"{action} introducing reserved layout column {introduced!r} rejected"
             )
         if action == "add_column":
             if change["name"] in cols:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
@@ -91,7 +91,7 @@ def write_xlsx(path: str, sheets: dict[str, list[list]] | list[list]) -> None:
             f'<sheetData>{"".join(rows)}</sheetData></worksheet>'
         )
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(names)
     )
     workbook = (

@@ -60,10 +60,15 @@ def main():
             ChangeFeedFollower,
         )
 
+        from file_standardization_etl_spark.cdc.apply import FID_DELETED, FID_LSN
+
+        # resolve the engine's lsn/tombstone columns by stable field id
+        # (renames keep the id); a non-CDC table yields None and the
+        # follower falls back to generic value-diff semantics
         names = {c.id: c.name for c in engine.table.schema().columns}
         follower = ChangeFeedFollower(
             engine.table, args.cursor,
-            lsn_column=names.get(5), deleted_column=names.get(6),
+            lsn_column=names.get(FID_LSN), deleted_column=names.get(FID_DELETED),
         )
         n = follower.step(export)
         print(f"windows exported: {n}")

@@ -280,3 +280,54 @@ def test_mor_over_chunked_manifest_layout(spark, tmp_path, monkeypatch):
     res = t.expire_snapshots(keep_last=1, grace_seconds=0.0)
     assert state(t) == ref  # GC kept chunk-referenced delta files live
     assert res["snapshots_deleted"] >= 1
+
+
+def test_mor_delta_bytes_apportioned_per_bucket(spark, tmp_path):
+    """A shared MOR delta file referenced by K buckets must not be counted
+    K times in per-bucket accounting: each reference carries a
+    ``share_bytes`` apportionment (summing to ~the true file size), while
+    ``bytes`` stays the true size for the read-side broadcast decision.
+    Without this a 64-bucket micro-batch delta inflates the auto-mode
+    compaction threshold and CoW write-task sizing by up to 64x."""
+    t = make(spark, str(tmp_path / "t"), n_buckets=8)
+    rows = [(f"d{i}", i, i + 1, "upsert") for i in range(64)]  # spans all buckets
+    t.merge(delta_df(spark, rows), lww, mode="mor", delta_rows=len(rows))
+    entries = t._files_load(t.snapshot())
+    items = [d for e in entries.values() for d in e.get("deltas", [])]
+    assert items
+    true_bytes = items[0]["bytes"]
+    n_refs = len(items)
+    assert all(d["bytes"] == true_bytes for d in items)  # one shared file
+    share_sum = sum(d["share_bytes"] for d in items)
+    assert true_bytes <= share_sum <= true_bytes + n_refs  # ceil rounding only
+    # per-bucket accounting uses the share, not the full file size
+    per_bucket = sum(LakeTable._entry_bytes(e) for e in entries.values())
+    assert per_bucket < 2 * true_bytes
+
+
+def test_mor_carry_column_named_like_new_prefix_survives(spark, tmp_path):
+    """A carried (old-only) column whose NAME contains the literal '__n_'
+    substring (e.g. 'x__n_y') must still be excluded from the delta file:
+    naive substring matching on the expression repr would see its
+    '__o_x__n_y' alias, persist the column as all-null, and silently
+    clobber the base value at read time."""
+    t = make(spark, str(tmp_path / "t"))
+    t.merge(delta_df(spark, BATCHES[0]), lww, mode="mor", delta_rows=3)
+    t.compact()
+    t.apply_schema_change({"action": "add_column", "name": "x__n_y", "type": "int"})
+    t.update_where(F.col("doc_id") == "d1", {"x__n_y": F.lit(41)})
+
+    def lww2(old, new):
+        out = lww(old, new)
+        out["x__n_y"] = old["x__n_y"]  # old-carry with a booby-trapped name
+        return out
+
+    t.merge(
+        delta_df(spark, [("d1", 99, 50, "upsert")]), lww2, mode="mor", delta_rows=1
+    )
+    got = {r["doc_id"]: (r["v"], r["x__n_y"]) for r in t.read().collect()}
+    assert got["d1"] == (99, 41)  # carried value survived the MOR upsert
+    entries = t._files_load(t.snapshot())
+    items = [d for e in entries.values() for d in e.get("deltas", [])]
+    col_id = t.schema().by_name()["x__n_y"].id
+    assert items and all(col_id not in d["column_ids"] for d in items)

@@ -268,3 +268,19 @@ def test_stdlib_xlsx_reader_matches_pandas_when_available(tmp_path):
     ours_m = ours.astype(str).where(ours.notna(), None)
     ref_m = ref.astype(str).where(ref.notna(), None)
     assert ours_m.values.tolist() == ref_m.values.tolist()
+
+
+def test_xlsx_sheet_name_with_quotes_and_ampersand_roundtrips(tmp_path):
+    """Sheet names are XML ATTRIBUTE values: '\"' must be escaped too
+    (xml.sax.saxutils.escape alone leaves quotes bare and emits malformed
+    workbook.xml). '\"' and '&' are legal Excel sheet-name characters."""
+    from file_standardization_etl_spark.sources.xlsx_minimal import (
+        read_xlsx_grid,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "q.xlsx")
+    name = 'Q3 "final" & more'
+    write_xlsx(path, {name: [["a", "b"], ["1", "2"]]})
+    assert read_xlsx_grid(path, name) == [["a", "b"], ["1", "2"]]
+    assert read_xlsx_grid(path, 0) == [["a", "b"], ["1", "2"]]

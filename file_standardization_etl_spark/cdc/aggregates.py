@@ -255,7 +255,7 @@ class TokenVocab:
             .agg(F.sum("d_occ").alias("d_occ"), F.sum("d_docs").alias("d_docs"))
             .filter((F.col("d_occ") != 0) | (F.col("d_docs") != 0))
         )
-        pend = os.path.join(self.pending_dir, f"b{batch_id:010d}_c{chunk:05d}")
+        pend = os.path.join(self.pending_dir, f"b{batch_id:010d}_c{chunk:012d}")
         data_dir = os.path.join(pend, "data")
         from pyspark.sql import Observation
 

@@ -281,7 +281,7 @@ class CdcEngine:
             T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "schema_change"])
             .add("reason", T.StringType())
             .add("batch_id", T.LongType())
-            .add("chunk", T.IntegerType())
+            .add("chunk", T.LongType())
         )
 
     def vocab(self) -> DataFrame:
@@ -605,12 +605,6 @@ class CdcEngine:
                 self.whitelist,
             )
             valid = chunk.filter(expr_r.isNull())
-            qdir = os.path.join(
-                self.quarantine_path, f"batch_id={batch_id}", f"chunk={ci}"
-            )
-            staging = os.path.join(
-                self.table_path, "_staging", f"b{batch_id}_c{ci}"
-            )
 
             # lineage joins here: the narrow scan overlapped plan
             # construction, and rows_in gates the salt path
@@ -634,6 +628,25 @@ class CdcEngine:
                     r["lsn_max"] if chunk_lsn_max is None else max(chunk_lsn_max, r["lsn_max"])
                 )
             _mark("lineage_join")
+
+            # Quarantine/staging dirs are keyed by the chunk's MAX DATA
+            # LSN, not its positional index: on partial-batch redelivery
+            # (crash mid-batch, earlier chunks already past the
+            # watermark) the surviving events renumber to ci=0, and a
+            # positional key would collide with — and rmtree — an
+            # earlier chunk's already-finalized quarantine rows. The
+            # content-derived LSN key is identical across redeliveries
+            # of the SAME chunk (idempotent replacement, intended) and
+            # distinct across different chunks. An all-filtered chunk
+            # (chunk_lsn_max None) writes nothing; ci is only a
+            # placeholder there.
+            ck = chunk_lsn_max if chunk_lsn_max is not None else ci
+            qdir = os.path.join(
+                self.quarantine_path, f"batch_id={batch_id}", f"chunk={ck}"
+            )
+            staging = os.path.join(
+                self.table_path, "_staging", f"b{batch_id}_c{ck}"
+            )
 
             # LWW scale path: narrow (key -> max lsn, cnt, winner op)
             # aggregation — token arrays never enter an agg buffer —
@@ -677,166 +690,180 @@ class CdcEngine:
                 "cnt",
                 bucket_expr(F.col("doc_id"), nb).alias("_wb"),
             ).persist()
-            w = winners.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("cnt").alias("mx"),
-                F.sum(F.when(F.col("win_del"), 1).otherwise(0)).alias("deletes"),
-                F.collect_set("_wb").alias("buckets"),
-            ).collect()[0]
-            n_delta = w["n"]
-            totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
-            totals["rows_valid"] += n_delta
-            totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
-            totals["rows_deletes"] += w["deletes"] or 0
-            totals["rows_upserts"] += n_delta - (w["deletes"] or 0)
-            affected = [int(b) for b in (w["buckets"] or [])]
-            _mark("lww_and_stats")
+            # unpersist on EVERY exit: an exception mid-chunk (commit
+            # conflict, IO error, rejected DDL) must not pin the cached
+            # winner set in executor storage for the session lifetime —
+            # retried foreachBatch failures would leak one per attempt
+            try:
+                w = winners.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("cnt").alias("mx"),
+                    F.sum(F.when(F.col("win_del"), 1).otherwise(0)).alias("deletes"),
+                    F.collect_set("_wb").alias("buckets"),
+                ).collect()[0]
+                n_delta = w["n"]
+                totals["max_key_rows"] = max(totals["max_key_rows"], w["mx"] or 0)
+                totals["rows_valid"] += n_delta
+                totals["distinct_keys"] = max(totals["distinct_keys"], n_delta)
+                totals["rows_deletes"] += w["deletes"] or 0
+                totals["rows_upserts"] += n_delta - (w["deletes"] or 0)
+                affected = [int(b) for b in (w["buckets"] or [])]
+                _mark("lww_and_stats")
 
-            q_future = None
-            if rows_in > 0:
-                # pass 2: ONE routed scan writes quarantine candidates
-                # and the LWW delta together
-                keys = winners.select("doc_id", "lsn").withColumn(
-                    "__win", F.lit(1)
-                )
-                if n_delta <= 4_000_000:
-                    keys = F.broadcast(keys)
-                routed = (
-                    chunk.drop("schema_change")
-                    .join(keys, on=["doc_id", "lsn"], how="left")
-                    .withColumn(
-                        "route",
-                        F.when(expr_r.isNotNull(), F.lit("q")).when(
-                            F.col("__win") == 1, F.lit("d")
-                        ),
+                q_future = None
+                if rows_in > 0:
+                    # pass 2: ONE routed scan writes quarantine candidates
+                    # and the LWW delta together
+                    keys = winners.select("doc_id", "lsn").withColumn(
+                        "__win", F.lit(1)
                     )
-                    .filter(F.col("route").isNotNull())
-                    .drop("__win")
-                )
-                routed.write.mode("overwrite").partitionBy("route").parquet(staging)
-                _mark("routed_write")
-
-                # quarantine finalize (async, small): authoritative
-                # reasons via the Arrow-vectorized UDF over the staged
-                # q-slice; stage-then-swap so a redelivered (fully
-                # LSN-filtered) chunk can't clobber the original
-                # delivery's quarantine
-                reason_mode = (
-                    "slim" if self.validation_mode == "hybrid" else self.validation_mode
-                )
-
-                def _finalize_quarantine(
-                    qsrc=os.path.join(staging, "route=q"),
-                    qdir=qdir,
-                    mode=reason_mode,
-                    tag=f"quar-{batch_id}-{ci}",
-                ):
-                    # staging is driver-local: existence, not a bare
-                    # except, decides "no invalid rows staged" — any
-                    # real read failure must propagate so counts are
-                    # never silently dropped
-                    if not os.path.isdir(qsrc):
-                        return None  # no invalid rows staged (or redelivery)
-                    qdf = self.spark.read.parquet(qsrc)
-                    obs = Observation(tag)
-                    reasoned = with_reason(qdf, self.whitelist, mode=mode).observe(
-                        obs,
-                        F.count(F.lit(1)).alias("n"),
-                        *[
-                            F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
-                            for r in QUARANTINE_REASONS
-                        ],
-                    )
-                    # stage OUTSIDE the partition-discovered quarantine
-                    # tree (a crashed leftover named chunk=M.inprogress
-                    # would poison partition discovery)
-                    tmp = os.path.join(
-                        self.table_path, "_staging", f"quar_b{batch_id}_c{ci}"
-                    )
-                    reasoned.write.mode("overwrite").parquet(tmp)
-                    counts = obs.get  # safe: the write action ran
-                    if (counts.get("n") or 0) > 0 or not os.path.exists(qdir):
-                        if os.path.exists(qdir):
-                            shutil.rmtree(qdir)
-                        # a concurrent compact_quarantine may rmdir the
-                        # (emptied) batch dir between our makedirs and
-                        # rename — losing the rename would silently drop
-                        # this chunk's quarantine rows forever (redelivery
-                        # is LSN-filtered, so finalize never re-runs).
-                        # Retry the pair; compaction empties a batch dir
-                        # at most once per listed chunk, so this settles.
-                        for attempt in range(10):
-                            os.makedirs(os.path.dirname(qdir), exist_ok=True)
-                            try:
-                                os.rename(tmp, qdir)
-                                break
-                            except FileNotFoundError:
-                                if attempt == 9:
-                                    raise
-                    else:
-                        shutil.rmtree(tmp, ignore_errors=True)
-                    return counts
-
-                q_future = self._pool.submit(_finalize_quarantine)
-
-                # merge consumes the file-backed delta: no persist, no
-                # recompute races across the merge's three branches.
-                # Existence-gated (driver-local staging), NOT a bare
-                # except: an unexpected read failure must propagate —
-                # substituting an empty delta and then committing the
-                # watermark would permanently drop every valid row in
-                # the chunk with no retry possible.
-                ddir = os.path.join(staging, "route=d")
-                delta_bytes = None
-                if os.path.isdir(ddir):
-                    delta = self.spark.read.parquet(ddir).select(*dedup_cols)
-                    delta_bytes = LakeTable._dir_bytes(ddir)
-                else:
-                    delta = self.spark.createDataFrame(
-                        [],
-                        T.StructType(
-                            [f for f in EVENT_SCHEMA.fields if f.name in dedup_cols]
-                        ),
-                    )
-
-                # even an all-quarantined chunk advances the watermark
-                # (merge with an empty delta commits properties only)
-                watermark = max(applied, chunk_lsn_max or applied)
-                stage_future = None
-                if self._vocab is not None and n_delta > 0:
-                    # outbox stage: the delta is computed against the
-                    # pre-merge snapshot (CoW writes new files, MOR
-                    # appends — the snapshot this read planned against is
-                    # immutable) and runs CONCURRENTLY with the merge's
-                    # compute; the merge's pre_commit hook joins it, so
-                    # the outbox is durable strictly before the watermark
-                    # advances — a crash on either side of the commit
-                    # resolves exactly-once (see cdc/aggregates.py)
-                    def _stage(
-                        _b=batch_id, _c=ci, _d=delta, _a=affected, _w=watermark
-                    ):
-                        t0 = time.time()
-                        p = self._vocab.stage_delta(_b, _c, _d, _a, _w)
-                        self.timings["vocab_stage"] = (
-                            self.timings.get("vocab_stage", 0.0) + time.time() - t0
+                    if n_delta <= 4_000_000:
+                        keys = F.broadcast(keys)
+                    routed = (
+                        chunk.drop("schema_change")
+                        .join(keys, on=["doc_id", "lsn"], how="left")
+                        .withColumn(
+                            "route",
+                            F.when(expr_r.isNotNull(), F.lit("q")).when(
+                                F.col("__win") == 1, F.lit("d")
+                            ),
                         )
-                        return p
+                        .filter(F.col("route").isNotNull())
+                        .drop("__win")
+                    )
+                    routed.write.mode("overwrite").partitionBy("route").parquet(staging)
+                    _mark("routed_write")
 
-                    stage_future = self._pool.submit(_stage)
-                self._merge_chunk(
-                    delta, n_delta, watermark, batch_id,
-                    affected_buckets=affected, delta_bytes=delta_bytes,
-                    pre_commit=(
-                        stage_future.result if stage_future is not None else None
-                    ),
-                )
-                _mark("merge")
-                applied = watermark
-                if stage_future is not None:
-                    self._vocab.maybe_fold()
-                    _mark("vocab_fold")
+                    # quarantine finalize (async, small): authoritative
+                    # reasons via the Arrow-vectorized UDF over the staged
+                    # q-slice; stage-then-swap so a redelivered (fully
+                    # LSN-filtered) chunk can't clobber the original
+                    # delivery's quarantine
+                    reason_mode = (
+                        "slim" if self.validation_mode == "hybrid" else self.validation_mode
+                    )
 
-            winners.unpersist()
+                    def _finalize_quarantine(
+                        qsrc=os.path.join(staging, "route=q"),
+                        qdir=qdir,
+                        mode=reason_mode,
+                        tag=f"quar-{batch_id}-{ck}",
+                    ):
+                        # staging is driver-local: existence, not a bare
+                        # except, decides "no invalid rows staged" — any
+                        # real read failure must propagate so counts are
+                        # never silently dropped
+                        if not os.path.isdir(qsrc):
+                            return None  # no invalid rows staged (or redelivery)
+                        qdf = self.spark.read.parquet(qsrc)
+                        obs = Observation(tag)
+                        reasoned = with_reason(qdf, self.whitelist, mode=mode).observe(
+                            obs,
+                            F.count(F.lit(1)).alias("n"),
+                            *[
+                                F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                                for r in QUARANTINE_REASONS
+                            ],
+                        )
+                        # stage OUTSIDE the partition-discovered quarantine
+                        # tree (a crashed leftover named chunk=M.inprogress
+                        # would poison partition discovery)
+                        tmp = os.path.join(
+                            self.table_path, "_staging", f"quar_b{batch_id}_c{ck}"
+                        )
+                        reasoned.write.mode("overwrite").parquet(tmp)
+                        counts = obs.get  # safe: the write action ran
+                        if (counts.get("n") or 0) > 0 or not os.path.exists(qdir):
+                            if os.path.exists(qdir):
+                                shutil.rmtree(qdir)
+                            # a concurrent compact_quarantine may rmdir the
+                            # (emptied) batch dir between our makedirs and
+                            # rename — losing the rename would silently drop
+                            # this chunk's quarantine rows forever (redelivery
+                            # is LSN-filtered, so finalize never re-runs).
+                            # Retry the pair; compaction empties a batch dir
+                            # at most once per listed chunk, so this settles.
+                            for attempt in range(10):
+                                os.makedirs(os.path.dirname(qdir), exist_ok=True)
+                                try:
+                                    os.rename(tmp, qdir)
+                                    break
+                                except FileNotFoundError:
+                                    if attempt == 9:
+                                        raise
+                        else:
+                            shutil.rmtree(tmp, ignore_errors=True)
+                        return counts
+
+                    q_future = self._pool.submit(_finalize_quarantine)
+
+                    # merge consumes the file-backed delta: no persist, no
+                    # recompute races across the merge's three branches.
+                    # Existence-gated (driver-local staging), NOT a bare
+                    # except: an unexpected read failure must propagate —
+                    # substituting an empty delta and then committing the
+                    # watermark would permanently drop every valid row in
+                    # the chunk with no retry possible.
+                    ddir = os.path.join(staging, "route=d")
+                    delta_bytes = None
+                    if os.path.isdir(ddir):
+                        delta = self.spark.read.parquet(ddir).select(*dedup_cols)
+                        delta_bytes = LakeTable._dir_bytes(ddir)
+                    else:
+                        delta = self.spark.createDataFrame(
+                            [],
+                            T.StructType(
+                                [f for f in EVENT_SCHEMA.fields if f.name in dedup_cols]
+                            ),
+                        )
+
+                    # even an all-quarantined chunk advances the watermark
+                    # (merge with an empty delta commits properties only)
+                    watermark = max(applied, chunk_lsn_max or applied)
+                    stage_future = None
+                    if self._vocab is not None and n_delta > 0:
+                        # outbox stage: the delta is computed against the
+                        # pre-merge snapshot (CoW writes new files, MOR
+                        # appends — the snapshot this read planned against is
+                        # immutable) and runs CONCURRENTLY with the merge's
+                        # compute; the merge's pre_commit hook joins it, so
+                        # the outbox is durable strictly before the watermark
+                        # advances — a crash on either side of the commit
+                        # resolves exactly-once (see cdc/aggregates.py)
+                        def _stage(
+                            # the LSN-stable chunk key (ck), NOT the
+                            # positional index: the outbox fold marker is
+                            # a monotonic (batch, chunk) pair, and a
+                            # partially-redelivered batch renumbers its
+                            # surviving chunks to 0 — a positional key
+                            # would compare <= the already-folded marker
+                            # and silently drop the redelivered chunk's
+                            # vocab delta
+                            _b=batch_id, _c=ck, _d=delta, _a=affected, _w=watermark
+                        ):
+                            t0 = time.time()
+                            p = self._vocab.stage_delta(_b, _c, _d, _a, _w)
+                            self.timings["vocab_stage"] = (
+                                self.timings.get("vocab_stage", 0.0) + time.time() - t0
+                            )
+                            return p
+
+                        stage_future = self._pool.submit(_stage)
+                    self._merge_chunk(
+                        delta, n_delta, watermark, batch_id,
+                        affected_buckets=affected, delta_bytes=delta_bytes,
+                        pre_commit=(
+                            stage_future.result if stage_future is not None else None
+                        ),
+                    )
+                    _mark("merge")
+                    applied = watermark
+                    if stage_future is not None:
+                        self._vocab.maybe_fold()
+                        _mark("vocab_fold")
+
+            finally:
+                winners.unpersist()
             if q_future is not None:
                 qm = q_future.result() or {}  # finalize ran in parallel
                 for r in QUARANTINE_REASONS:
@@ -869,13 +896,19 @@ class CdcEngine:
                         "with the event wire format / bucket layout at "
                         "merge time)"
                     )
-                self.table.apply_schema_change(change, lsn=hi)
+                # DDL + watermark advance in ONE commit: a crash between
+                # two separate commits would redeliver the DDL event
+                # (lsn > stale watermark) and apply_schema_change is not
+                # idempotent — the retry errors forever, wedging the stream
                 applied = max(applied, hi)
-                # DDL advances the watermark too (oracle parity)
-                snap = self.table.snapshot()
-                snap["properties"]["max_applied_lsn"] = applied
-                snap["properties"]["last_batch_id"] = batch_id
-                self.table._commit(snap, snap["version"])
+                self.table.apply_schema_change(
+                    change,
+                    lsn=hi,
+                    properties_update={
+                        "max_applied_lsn": applied,
+                        "last_batch_id": batch_id,
+                    },
+                )
 
 
         metrics = BatchMetrics(

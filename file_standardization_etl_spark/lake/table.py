@@ -178,10 +178,27 @@ class LakeTable:
         return self.snapshot().get("properties", {})
 
     def _atomic_write(self, path: str, text: str) -> None:
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        """Crash-durable publish: fsync the data BEFORE the rename and the
+        directory entry after it. Without the first fsync, a power loss
+        shortly after a commit can persist the rename but not the data
+        blocks (ext4/xfs), leaving VERSION pointing at a truncated
+        snapshot — an unreadable table. The WAL source checkpoint may by
+        then have advanced past the batch, so the commit must not revert."""
+        d = os.path.dirname(path)
+        fd, tmp = tempfile.mkstemp(dir=d)
         with os.fdopen(fd, "w") as f:
             f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported on some filesystems
 
     # ---------- manifest chunking ----------
 
@@ -710,10 +727,23 @@ class LakeTable:
             for f in fs
         )
 
-    def overwrite(self, df: DataFrame) -> None:
-        """Replace the whole table content (used for seeding/compaction)."""
+    def overwrite(self, df: DataFrame, expected_version: int | None = None) -> None:
+        """Replace the whole table content (used for seeding/compaction).
+
+        ``expected_version``: the snapshot version ``df`` was derived
+        from. Callers that compute ``df`` from ``self.read()`` (compact,
+        delete_where, update_where) MUST pass the version they read at —
+        otherwise a concurrent commit landing between their read and this
+        overwrite would be silently erased (this method's own snapshot()
+        would see the newer version, pass the optimistic check, and
+        commit stale data over it). With it, the race surfaces as
+        CommitConflict and the caller retries against fresh state."""
         snap = self.snapshot()
         v = snap["version"]
+        if expected_version is not None and v != expected_version:
+            raise CommitConflict(
+                f"table advanced to v{v} since read at v{expected_version}"
+            )
         key = snap["key_column"]
         cur = TableSchema.from_json(snap["schema"])
         withb = df.select(*[F.col(n) for n in cur.names()]).withColumn(
@@ -1171,7 +1201,10 @@ class LakeTable:
         bucket, so this is a full rewrite by design; key-scoped deletes
         should go through the CDC delete op instead (bucket-pruned,
         tombstoned, LSN-guarded)."""
-        self.overwrite(self.read().filter(~F.coalesce(cond, F.lit(False))))
+        v = self.current_version()
+        self.overwrite(
+            self.read().filter(~F.coalesce(cond, F.lit(False))), expected_version=v
+        )
 
     def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
         """UPDATE ... SET assignments WHERE cond, snapshot-atomic. Same
@@ -1181,6 +1214,7 @@ class LakeTable:
         unknown = set(assignments) - set(names)
         if unknown:
             raise ValueError(f"unknown columns in assignments: {sorted(unknown)}")
+        v = self.current_version()
         df = self.read()
         c = F.coalesce(cond, F.lit(False))
         updated = df.select(
@@ -1190,13 +1224,25 @@ class LakeTable:
                 for n in names
             ]
         )
-        self.overwrite(updated)
+        self.overwrite(updated, expected_version=v)
 
     # ---------- schema evolution (metadata-only, like Iceberg) ----------
 
-    def apply_schema_change(self, change: dict, lsn: int | None = None) -> None:
+    def apply_schema_change(
+        self,
+        change: dict,
+        lsn: int | None = None,
+        properties_update: dict | None = None,
+    ) -> None:
         """Apply one ``{"action": add_column|rename_column|widen_type, ...}``
         event transactionally (new snapshot, zero data rewrite).
+
+        ``properties_update`` rides in the SAME commit — the CDC engine
+        passes its LSN watermark here so there is no crash window between
+        "schema committed" and "watermark advanced" (a watermark behind a
+        committed DDL would re-deliver the DDL event, and add/rename/widen
+        are not idempotent: the retry errors forever and wedges the
+        stream).
 
         Mirrors the reference's dd_attribute_detail-driven renames
         (``/root/reference/repomix-output.xml:7637-7649``) as real DDL.
@@ -1250,6 +1296,8 @@ class LakeTable:
         snap["schema"] = new_schema.to_json()
         snap["schema_versions"][str(new_schema.version)] = new_schema.to_json()
         snap["schema_log"].append({"lsn": lsn, "change": change})
+        if properties_update:
+            snap["properties"].update(properties_update)
         self._commit(snap, v)
 
     # ---------- maintenance ----------
@@ -1407,13 +1455,36 @@ class LakeTable:
             "manifests_deleted": manifests_deleted,
         }
 
-    def compact(self, expire_tombstones_below_lsn: int | None = None) -> None:
+    def compact(
+        self,
+        expire_tombstones_below_lsn: int | None = None,
+        tombstone_column: str = "deleted",
+        lsn_column: str = "last_lsn",
+    ) -> None:
         """Rewrite all buckets under the current schema version; optionally
         drop tombstones whose last_lsn is below the global applied watermark
-        (safe: no event with a lower LSN can ever arrive again)."""
+        (safe: no event with a lower LSN can ever arrive again).
+
+        ``tombstone_column``/``lsn_column``: resolve by FIELD ID at the
+        caller (the CDC engine / jobs/maintain.py do) — a rename_column
+        DDL moves the names, and a silently-skipped expiry would leave an
+        operator believing tombstones are being dropped. Missing columns
+        raise instead of skipping.
+
+        Concurrency: derives from the version read and passes it to
+        :meth:`overwrite`, so a concurrent ingester commit surfaces as
+        CommitConflict rather than being silently erased."""
+        v = self.current_version()
         df = self.read()
-        if expire_tombstones_below_lsn is not None and "deleted" in df.columns:
+        if expire_tombstones_below_lsn is not None:
+            missing = {tombstone_column, lsn_column} - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"tombstone expiry requested but columns {sorted(missing)} "
+                    "are absent — resolve names by field id after renames"
+                )
             df = df.filter(
-                (~F.col("deleted")) | (F.col("last_lsn") >= F.lit(expire_tombstones_below_lsn))
+                (~F.col(tombstone_column))
+                | (F.col(lsn_column) >= F.lit(expire_tombstones_below_lsn))
             )
-        self.overwrite(df)
+        self.overwrite(df, expected_version=v)

@@ -94,8 +94,15 @@ class ChangeFeedFollower:
         if coalesce:
             windows = [(cur, head)]
         else:
+            # clamp to the COMMITTED head: history() lists v{N}.json files,
+            # which can include a crashed writer's orphan (snapshot written,
+            # crash before the VERSION pointer swap). Consuming it would
+            # deliver an uncommitted diff and advance the cursor past the
+            # version the restarted writer will actually commit.
             versions = sorted(
-                s["version"] for s in self.table.history() if s["version"] > cur
+                s["version"]
+                for s in self.table.history()
+                if cur < s["version"] <= head
             )
             windows = list(zip([cur] + versions[:-1], versions))
         for v_from, v_to in windows:

@@ -55,7 +55,12 @@ class StreamingCdcRunner:
         # forces the incremental-plan slow path (also the automatic
         # fallback whenever the offset log doesn't parse).
         self.batch_file_rewrite = batch_file_rewrite
+        # recent batch ids (diagnostics/tests) — bounded so a long-running
+        # continuous tail (~17k micro-batches/day at a 5 s trigger) doesn't
+        # grow driver heap forever; batches_total keeps the full count
         self.batches_seen: list[int] = []
+        self.batches_total: int = 0
+        self._BATCHES_SEEN_MAX = 10_000
 
     def _reader(self):
         r = self.spark.readStream.schema(EVENT_SCHEMA)
@@ -65,7 +70,10 @@ class StreamingCdcRunner:
         return r.parquet(self.log_dir)
 
     def _foreach_batch(self, df, batch_id: int) -> None:
+        self.batches_total += 1
         self.batches_seen.append(batch_id)
+        if len(self.batches_seen) > self._BATCHES_SEEN_MAX:
+            del self.batches_seen[: -self._BATCHES_SEEN_MAX // 2]
         # The streaming batch DataFrame executes through the incremental
         # plan: no column pruning, no pushdown, no AQE — measured ~2× the
         # scan cost. Re-reading the exact same files as a plain batch

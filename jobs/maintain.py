@@ -66,7 +66,16 @@ def main():
         report["rebucketed_to"] = args.rebucket
     if args.compact:
         wm = engine.applied_lsn() + 1 if args.expire_tombstones else None
-        engine.table.compact(expire_tombstones_below_lsn=wm)
+        # rename-proof: resolve the tombstone/LSN columns by stable field
+        # id (a rename_column DDL moves the names, never the ids)
+        from file_standardization_etl_spark.cdc.apply import FID_DELETED, FID_LSN
+
+        names = {c.id: c.name for c in engine.table.schema().columns}
+        engine.table.compact(
+            expire_tombstones_below_lsn=wm,
+            tombstone_column=names.get(FID_DELETED, "deleted"),
+            lsn_column=names.get(FID_LSN, "last_lsn"),
+        )
         report["compacted"] = True
         report["tombstones_expired_below"] = wm
     if args.compact_quarantine:

@@ -581,8 +581,10 @@ def test_init_recovers_quarantine_staged_by_crashed_run(spark, tmp_path):
     # shape 1: crash before the reason pass
     invalid.write.parquet(os.path.join(stg, "b1_c0", "route=q"))
     # shape 2: crash between reasoned write and rename — reuse batch 0's
-    # already-reasoned rows under a new batch id
-    q0 = os.path.join(engine.quarantine_path, "batch_id=0", "chunk=0")
+    # already-reasoned rows under a new batch id (chunk dirs are keyed by
+    # the chunk's max data LSN, so discover the actual dir name)
+    b0 = os.path.join(engine.quarantine_path, "batch_id=0")
+    q0 = os.path.join(b0, sorted(os.listdir(b0))[0])
     shutil.copytree(q0, os.path.join(stg, "quar_b2_c0"))
     n_q0 = spark.read.parquet(q0).count()
 
@@ -600,3 +602,75 @@ def test_init_recovers_quarantine_staged_by_crashed_run(spark, tmp_path):
     assert fresh.quarantine().filter(
         F.col("batch_id").isin(1, 2) & F.col("reason").isNull()
     ).count() == 0
+
+
+def test_crash_between_chunks_redelivery_no_wedge_no_quarantine_loss(
+    spark, tmp_path, monkeypatch
+):
+    """Crash DURING the chunk after a mid-batch DDL, then redeliver the
+    whole batch. Two past defects are pinned here:
+
+    1. The DDL and the watermark advance ride ONE commit — with separate
+       commits, a redelivered DDL event (lsn > stale watermark) re-ran
+       apply_schema_change, which is not idempotent, and wedged the
+       stream forever ('column exists').
+    2. Quarantine chunk dirs are keyed by the chunk's max data LSN, not
+       its positional index — positionally, the redelivered tail chunk
+       renumbers to chunk 0 and its finalize rmtree'd the FIRST chunk's
+       already-finalized quarantine rows (permanent loss: redelivery is
+       LSN-filtered past the finalize)."""
+    cfg = EventGenConfig(
+        n_events=2400, n_docs=150, seed=211,
+        schema_change_lsns=(1200,),
+        schema_changes=({"action": "add_column", "name": "lang", "type": "string"},),
+    )
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+
+    calls = {"n": 0}
+    orig = CdcEngine._merge_chunk
+
+    def crashing(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second chunk's merge = after DDL committed
+            raise RuntimeError("simulated crash mid-batch")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(CdcEngine, "_merge_chunk", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.apply_batch(events_df(spark, events), batch_id=0)
+    monkeypatch.setattr(CdcEngine, "_merge_chunk", orig)
+
+    # chunk0 committed, DDL committed atomically with the watermark
+    assert engine.applied_lsn() == 1200
+    assert engine.table.schema().version == 2
+    q_before = engine.quarantine().count()
+    assert q_before > 0  # chunk0's quarantine rows are finalized
+
+    # redelivery of the full batch: DDL below watermark filters out;
+    # surviving tail chunk must neither re-apply DDL nor clobber chunk0's
+    # quarantine dir
+    fresh = CdcEngine(spark, engine.table_path)
+    fresh.init()
+    fresh.apply_batch(events_df(spark, events), batch_id=0)
+    oracle = replay(events)
+    assert_state_matches(fresh, oracle)
+    assert fresh.quarantine().count() == len(oracle.quarantine)
+    assert fresh.quarantine().count() > q_before  # chunk0 rows still there
+
+
+def test_no_persisted_rdd_leak_on_chunk_failure(spark, tmp_path, monkeypatch):
+    """An exception mid-chunk (commit conflict, IO error, rejected DDL)
+    must not leave the cached LWW winner set pinned in storage — retried
+    foreachBatch failures would leak one persisted dataset per attempt."""
+    events = generate_events(EventGenConfig(n_events=800, n_docs=60, seed=314))
+    engine = make_engine(spark, tmp_path)
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated merge failure")
+
+    monkeypatch.setattr(CdcEngine, "_merge_chunk", boom)
+    with pytest.raises(RuntimeError, match="simulated merge failure"):
+        engine.apply_batch(events_df(spark, events), batch_id=0)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0, f"{jmap.size()} persisted RDDs leaked"

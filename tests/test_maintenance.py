@@ -266,3 +266,89 @@ def test_changefeed_job_exports_window(spark, tmp_path, monkeypatch):
         (r["change_op"], r["doc_id"], r["last_lsn"]) for r in exported.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_compact_raises_commit_conflict_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between compact's read and its overwrite must
+    surface as CommitConflict — previously overwrite() captured its
+    optimistic expected-version AFTER the read, so the stale rewrite
+    silently erased the concurrent batch (and carried its watermark
+    forward, making the loss permanent)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from file_standardization_etl_spark.lake.table import CommitConflict, LakeTable
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, path, [("k", "string"), ("v", "bigint")], key_column="k", n_buckets=2
+    )
+    t.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"))
+
+    orig_read = LakeTable.read
+    fired = {"done": False}
+
+    def racy_read(self, *a, **kw):
+        # one-shot, and only for compact's own read — merge() also calls
+        # read() internally, which would otherwise recurse
+        if fired["done"] or self is not t:
+            return orig_read(self, *a, **kw)
+        fired["done"] = True
+        df = orig_read(self, *a, **kw)
+        # concurrent ingester commit lands after the maintenance read
+        t2 = LakeTable(spark, path)
+        t2.merge(
+            spark.createDataFrame([("c", 3)], "k string, v long"),
+            lambda old, new: {
+                "k": F.coalesce(old["k"], new["k"]),
+                "v": F.coalesce(new["v"], old["v"]),
+            },
+            delta_rows=1,
+        )
+        return df
+
+    monkeypatch.setattr(LakeTable, "read", racy_read)
+    with _pytest.raises(CommitConflict):
+        t.compact()
+    # the concurrent commit survived
+    assert {r["k"] for r in t.read().collect()} == {"a", "b", "c"}
+    # retry against fresh state succeeds
+    t.compact()
+    assert {r["k"] for r in t.read().collect()} == {"a", "b", "c"}
+
+
+def test_compact_tombstone_expiry_resolves_renamed_columns(spark, tmp_path):
+    """Tombstone expiry after a rename_column DDL: the caller resolves the
+    tombstone/LSN columns by field id; name-bound defaults must raise
+    loudly (not silently skip) when the names moved."""
+    import pytest as _pytest
+
+    from file_standardization_etl_spark.cdc.apply import (
+        FID_DELETED,
+        FID_LSN,
+        CdcEngine,
+    )
+    from file_standardization_etl_spark.cdc.events import (
+        EventGenConfig,
+        events_df,
+        generate_events,
+    )
+
+    cfg = EventGenConfig(n_events=800, n_docs=60, seed=77, delete_frac=0.3)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    engine.apply_batch(events_df(spark, generate_events(cfg)), batch_id=0)
+    engine.table.apply_schema_change(
+        {"action": "rename_column", "name": "deleted", "new_name": "is_dead"}
+    )
+    with _pytest.raises(ValueError, match="deleted"):
+        engine.table.compact(expire_tombstones_below_lsn=engine.applied_lsn() + 1)
+    names = {c.id: c.name for c in engine.table.schema().columns}
+    tomb = engine.table.read().filter(F.col("is_dead")).count()
+    assert tomb > 0
+    engine.table.compact(
+        expire_tombstones_below_lsn=engine.applied_lsn() + 1,
+        tombstone_column=names[FID_DELETED],
+        lsn_column=names[FID_LSN],
+    )
+    assert engine.table.read().filter(F.col("is_dead")).count() == 0

@@ -337,3 +337,40 @@ def test_changefeed_per_commit_backfill_matches_state(spark, tmp_path):
         for r in engine.state().collect()
     }
     assert replica == want
+
+
+def test_changefeed_follower_ignores_orphan_snapshot(spark, tmp_path):
+    """history() lists v{N}.json files, which can include a crashed
+    writer's orphan (snapshot written, crash before the VERSION pointer
+    swap). A per-commit follower must clamp to the committed head — not
+    deliver the uncommitted diff or advance its cursor past it."""
+    import json
+    import os
+
+    from file_standardization_etl_spark.streaming.changefeed import ChangeFeedFollower
+
+    cfg = EventGenConfig(n_events=1500, n_docs=80, seed=131)
+    events = generate_events(cfg)
+    engine = CdcEngine(spark, str(tmp_path / "cdc"), n_buckets=4)
+    engine.init()
+    engine.apply_batch(events_df(spark, events[:700]), batch_id=0)
+    follower = ChangeFeedFollower(
+        engine.table, str(tmp_path / "cursor.json"),
+        lsn_column="last_lsn", deleted_column="deleted",
+    )
+    follower.position()  # pin the cursor at the post-batch-0 version
+    engine.apply_batch(events_df(spark, events[700:]), batch_id=1)
+
+    head = engine.table.current_version()
+    # fabricate the orphan: next version's snapshot file, no pointer swap
+    snap = dict(engine.table.snapshot())
+    snap["version"] = head + 1
+    with open(os.path.join(engine.table.path, "_meta", f"v{head + 1}.json"), "w") as f:
+        json.dump(snap, f)
+
+    seen = []
+    n = follower.step(lambda df, v_from, v_to: seen.append((v_from, v_to, df.count())),
+                      coalesce=False)
+    assert n == len(seen) > 0
+    assert all(v_to <= head for _, v_to, _ in seen)
+    assert follower.position() == head  # cursor never passes the commit point

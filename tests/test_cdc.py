@@ -674,3 +674,76 @@ def test_no_persisted_rdd_leak_on_chunk_failure(spark, tmp_path, monkeypatch):
         engine.apply_batch(events_df(spark, events), batch_id=0)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert jmap.size() == 0, f"{jmap.size()} persisted RDDs leaked"
+
+
+def test_fuzz_crash_inject_redelivery_matches_oracle(spark, tmp_path, monkeypatch):
+    """Randomized crash-injection sweep (2 seeded cases; a 10-case run of
+    the same generator is kept green out-of-suite): random stream shape +
+    DDL, a simulated crash inside a random chunk's merge, engine restart,
+    full-batch redelivery, random old-batch redelivery — final state,
+    quarantine, and the vocab IVM must all equal the dict oracle."""
+    import random as _random
+    from collections import Counter
+
+    orig = CdcEngine._merge_chunk
+    for case in range(2):
+        rng = _random.Random(9100 + case)
+        n_events = 1500
+        ddl_lsns = tuple(sorted(rng.sample(range(100, n_events - 100), 2)))
+        changes = (
+            {"action": "add_column", "name": f"x{case}", "type": "double"},
+            {"action": "widen_type", "name": "n_tok", "type": "bigint"},
+        )
+        w = rng.choice([1, 100])
+        cfg = EventGenConfig(
+            n_events=n_events, n_docs=100, seed=8100 + case,
+            schema_change_lsns=ddl_lsns, schema_changes=changes,
+            disorder_window=w,
+        )
+        events = generate_events(cfg)
+        aligned = [i for i in range(w, n_events, w)]
+        cuts = sorted(rng.sample(aligned, min(2, len(aligned))))
+        slices = [events[lo:hi] for lo, hi in zip([0] + cuts, cuts + [n_events])]
+
+        wd = str(tmp_path / f"case{case}")
+        engine = CdcEngine(spark, wd, maintain_vocab=True)
+        engine.init()
+        countdown = {"n": rng.randint(1, 3)}
+
+        def crashing(self, *a, **kw):
+            countdown["n"] -= 1
+            if countdown["n"] == 0:
+                raise RuntimeError("injected crash")
+            return orig(self, *a, **kw)
+
+        armed = True
+        for i, sl in enumerate(slices):
+            if armed and rng.random() < 0.7:
+                monkeypatch.setattr(CdcEngine, "_merge_chunk", crashing)
+                try:
+                    engine.apply_batch(events_df(spark, sl), batch_id=i)
+                except RuntimeError:
+                    monkeypatch.setattr(CdcEngine, "_merge_chunk", orig)
+                    engine = CdcEngine(spark, wd, maintain_vocab=True)
+                    engine.init()  # restarted process
+                    engine.apply_batch(events_df(spark, sl), batch_id=i)
+                finally:
+                    monkeypatch.setattr(CdcEngine, "_merge_chunk", orig)
+                armed = False
+            else:
+                engine.apply_batch(events_df(spark, sl), batch_id=i)
+            if rng.random() < 0.4:
+                j = rng.randint(0, i)
+                engine.apply_batch(events_df(spark, slices[j]), batch_id=j)
+
+        oracle = replay(events)
+        assert_state_matches(engine, oracle)
+        assert engine.quarantine().count() == len(oracle.quarantine)
+        occ, docs = Counter(), Counter()
+        for v in oracle.live_docs().values():
+            for t in v["tokens"]:
+                occ[t] += 1
+            for t in set(v["tokens"]):
+                docs[t] += 1
+        vgot = {r["token"]: (r["n_occ"], r["n_docs"]) for r in engine.vocab().collect()}
+        assert vgot == {t: (occ[t], docs[t]) for t in occ}

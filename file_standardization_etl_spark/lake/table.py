@@ -358,12 +358,18 @@ class LakeTable:
     # ---------- read ----------
 
     def history(self) -> list[dict]:
-        """Available snapshots, oldest first: version, properties, schema
+        """COMMITTED snapshots, oldest first: version, properties, schema
         version, file count (Iceberg's ``history`` metadata table).
-        Snapshots below an ``expire_snapshots`` horizon are gone."""
+        Snapshots below an ``expire_snapshots`` horizon are gone; a
+        crashed writer's orphan (v{N}.json written, crash before the
+        VERSION pointer swap) is excluded — it is not part of table
+        history until the restarted writer recommits it."""
+        head = self.current_version()
         out = []
         for name in sorted(os.listdir(self._meta_dir)):
             if name.startswith("v") and name.endswith(".json"):
+                if int(name[1:-5]) > head:
+                    continue
                 snap = self.snapshot(int(name[1:-5]))
                 if "files" in snap:
                     n_files = len(snap["files"])

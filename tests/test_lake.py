@@ -413,3 +413,25 @@ def test_changes_across_rebucket_falls_back_to_full_diff(spark, tmp_path):
 
     got = {(r["change_op"], r["k"], r["v"]) for r in t.changes(v1).collect()}
     assert got == {("update", "b", 20), ("delete", "c", 3)}
+
+
+def test_history_excludes_orphan_snapshot(spark, tmp_path):
+    """history() must list only COMMITTED snapshots: a crashed writer's
+    orphan v{N}.json (written before the VERSION pointer swap) is not
+    table history until recommitted."""
+    import json
+    import os
+
+    from file_standardization_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "string"), ("v", "bigint")],
+        key_column="k", n_buckets=2,
+    )
+    t.overwrite(spark.createDataFrame([("a", 1)], "k string, v long"))
+    head = t.current_version()
+    snap = dict(t.snapshot())
+    snap["version"] = head + 1
+    with open(os.path.join(t._meta_dir, f"v{head + 1}.json"), "w") as f:
+        json.dump(snap, f)
+    assert [s["version"] for s in t.history()] == list(range(head + 1))

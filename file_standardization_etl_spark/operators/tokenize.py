@@ -126,6 +126,48 @@ def hash_split(
     )
 
 
+def shard_order(
+    docs: DataFrame,
+    n_shards: int = 16,
+    salt: str = "shuffle-v1",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle → (shard, pos, doc_id): the
+    stage that fixes a reproducible training order before packing.
+
+    Shard = two leading md5 hex chars of (doc_id ':' salt), position =
+    rank within the shard by the full hash (doc_id tiebreak). Everything
+    derives from the hash, so the order is seed-stable across re-runs
+    and cluster sizes, and re-sharding is a salt change, not new state.
+
+    Scale shape: ONE hash-partition shuffle on ``shard`` followed by a
+    per-shard sort inside the window — exactly the shuffle the shard-file
+    writer needs anyway (at 10^10 docs run with n_shards in the 10^4-10^5
+    range so a shard's docs sort within an executor). The arithmetic is
+    ascii()/substr()/% only — bitwise-portable to the DuckDB oracle.
+    Training-pipeline extension; no counterpart in the reference (its
+    processing order is whatever the driver loop encounters,
+    /root/reference/file_standardization_job.py:199-240).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit(salt)))
+    shard = (
+        (F.ascii(F.substring(F.col("_h"), 1, 1)) * 256
+         + F.ascii(F.substring(F.col("_h"), 2, 1))) % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", key)
+    return (
+        docs.select(key, h.alias("_h"))
+        .select(key, "_h", shard.alias("shard"))
+        .select(
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            key,
+        )
+    )
+
+
 def _gram_hashes(n: int) -> str:
     """Distinct md5 hashes of the n-word grams of column ``w`` (only docs
     with >= n words produce grams — a shorter doc has no full n-gram)."""

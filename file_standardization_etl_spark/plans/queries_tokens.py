@@ -248,7 +248,35 @@ FROM offs GROUP BY shard, example_id
 """
 
 
+def q_tokens_shard_order(spark, sf_dir):
+    """Deterministic global shuffle of the corpus into 16 shards with a
+    reproducible within-shard order (operators/tokenize.py shard_order):
+    one hash-partition shuffle + per-shard sort, the exact plan a
+    shard-file writer needs."""
+    return tokenize.shard_order(load(spark, sf_dir, "documents"), n_shards=16)
+
+
+SQL_TOKENS_SHARD = """
+WITH h AS (
+  SELECT doc_id,
+         md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'shuffle-v1')) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, h,
+         CAST((ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % 16
+              AS INTEGER) AS shard
+  FROM h
+)
+SELECT shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos,
+       doc_id
+FROM s
+"""
+
+
 TOKEN_QUERIES: dict[str, tuple] = {
+    "tokens_shard_order": (q_tokens_shard_order, SQL_TOKENS_SHARD),
     "tokens_mixture_weights": (q_tokens_mixture_weights, SQL_TOKENS_MIXTURE),
     "tokens_pack_payload": (q_tokens_pack_payload, SQL_TOKENS_PAYLOAD),
     "tokens_chunk_windows": (q_tokens_chunk_windows, SQL_TOKENS_CHUNK),

@@ -425,3 +425,27 @@ def test_repetition_stats_degenerate_doc_collapses_mapside(spark):
     assert out[1]["max_occ"] == n - 2
     assert out[1]["dup_permille"] == (n - 3) * 1000 // (n - 2)
     assert out[2]["dup_permille"] == 0
+
+
+def test_shard_order_is_deterministic_dense_and_salt_sensitive(spark, docs):
+    from file_standardization_etl_spark.operators import tokenize
+
+    a = tokenize.shard_order(docs, n_shards=8).collect()
+    b = tokenize.shard_order(docs, n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    n = docs.count()
+    assert len(a) == n
+    # positions are dense 1..len(shard) within every shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # every doc exactly once
+    assert len({r["doc_id"] for r in a}) == n
+    # a different salt reshuffles (overwhelmingly likely to differ)
+    c = tokenize.shard_order(docs, n_shards=8, salt="shuffle-v2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    with pytest.raises(ValueError):
+        tokenize.shard_order(docs, n_shards=0)

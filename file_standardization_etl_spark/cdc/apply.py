@@ -277,6 +277,12 @@ class CdcEngine:
         )
 
     def _quarantine_schema(self) -> T.StructType:
+        # Format note: round 3 changed 'chunk' from a positional int32 to
+        # the chunk's max data LSN as int64 (stable across partial-batch
+        # redelivery). A quarantine tree/archive written by the earlier
+        # layout would need a one-off rewrite (read with the old schema,
+        # rewrite); no such deployments exist — the format is
+        # sandbox-internal and versioned with the repo.
         return (
             T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "schema_change"])
             .add("reason", T.StringType())
@@ -690,6 +696,8 @@ class CdcEngine:
                 "cnt",
                 bucket_expr(F.col("doc_id"), nb).alias("_wb"),
             ).persist()
+            q_future = None
+            stage_future = None
             # unpersist on EVERY exit: an exception mid-chunk (commit
             # conflict, IO error, rejected DDL) must not pin the cached
             # winner set in executor storage for the session lifetime —
@@ -862,6 +870,20 @@ class CdcEngine:
                         self._vocab.maybe_fold()
                         _mark("vocab_fold")
 
+            except BaseException:
+                # quiesce in-flight pool jobs before propagating: a
+                # same-session foreachBatch retry would otherwise race a
+                # still-running _finalize_quarantine / vocab stage against
+                # its own re-run over the identical staging/tmp/qdir paths
+                # (overwrite-under-reader, duelling renames). Their own
+                # errors are secondary to the one propagating.
+                for _fut in (q_future, stage_future):
+                    if _fut is not None:
+                        try:
+                            _fut.result()
+                        except Exception:
+                            pass
+                raise
             finally:
                 winners.unpersist()
             if q_future is not None:

@@ -333,6 +333,16 @@ class LakeTable:
         n_buckets: int = 16,
         properties: dict | None = None,
     ) -> "LakeTable":
+        # same invariant apply_schema_change enforces for DDL: a user
+        # column named after a layout column would be silently overwritten
+        # by the bucketed writer ('_bucket') or make every MOR read
+        # ambiguous ('_seq'/'_tag') — reject at creation, not at the first
+        # corrupted read
+        bad = LAYOUT_RESERVED & {n for n, _ty in columns}
+        if bad:
+            raise ValueError(
+                f"column names {sorted(bad)} are reserved layout columns"
+            )
         t = cls(spark, path)
         os.makedirs(t._meta_dir, exist_ok=True)
         if t.exists():

@@ -45,6 +45,20 @@ def split_bucket_sql(key: str, salt: str) -> str:
     return f"(({poly}) % 100)"
 
 
+def hex_mod_sql(col: str, n_digits: int, modulus: int) -> str:
+    """``(first n_digits hex chars of col as int) % modulus`` in the
+    engine-portable subset (substring/instr/%) — the same text runs as a
+    Spark expression and as the DuckDB oracle expression. Bias of the
+    modulo is ≤ modulus / 16^n_digits (n_digits=6 → 16.7M values,
+    ≤0.6% bias even at 10^5 shards)."""
+    digits = [
+        f"(instr('0123456789abcdef', substring({col}, {i + 1}, 1)) - 1)"
+        for i in range(n_digits)
+    ]
+    poly = " + ".join(f"{d} * {16 ** (n_digits - 1 - i)}" for i, d in enumerate(digits))
+    return f"(({poly}) % {modulus})"
+
+
 def tokenized(docs: DataFrame) -> DataFrame:
     """(doc_id, toks: array<string>) — whitespace words → 8-hex-digit ids."""
     return docs.select(
@@ -135,27 +149,28 @@ def shard_order(
     """Deterministic global corpus shuffle → (shard, pos, doc_id): the
     stage that fixes a reproducible training order before packing.
 
-    Shard = two leading md5 hex chars of (doc_id ':' salt), position =
-    rank within the shard by the full hash (doc_id tiebreak). Everything
-    derives from the hash, so the order is seed-stable across re-runs
-    and cluster sizes, and re-sharding is a salt change, not new state.
+    Shard = six leading md5 hex digits of (doc_id ':' salt) decoded to an
+    int, mod n_shards (16.7M producible values — supports the 10^4-10^5
+    shard counts of the docstring's scale guidance with ≤0.6% modulo
+    bias); position = rank within the shard by the full hash (doc_id
+    tiebreak). Everything derives from the hash, so the order is
+    seed-stable across re-runs and cluster sizes, and re-sharding is a
+    salt change, not new state.
 
     Scale shape: ONE hash-partition shuffle on ``shard`` followed by a
     per-shard sort inside the window — exactly the shuffle the shard-file
     writer needs anyway (at 10^10 docs run with n_shards in the 10^4-10^5
     range so a shard's docs sort within an executor). The arithmetic is
-    ascii()/substr()/% only — bitwise-portable to the DuckDB oracle.
-    Training-pipeline extension; no counterpart in the reference (its
-    processing order is whatever the driver loop encounters,
+    the portable substring/instr/% subset (``hex_mod_sql``) — the oracle
+    runs the identical expression text. Training-pipeline extension; no
+    counterpart in the reference (its processing order is whatever the
+    driver loop encounters,
     /root/reference/file_standardization_job.py:199-240).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit(salt)))
-    shard = (
-        (F.ascii(F.substring(F.col("_h"), 1, 1)) * 256
-         + F.ascii(F.substring(F.col("_h"), 2, 1))) % n_shards
-    ).cast("int")
+    shard = F.expr(hex_mod_sql("_h", 6, n_shards)).cast("int")
     w = Window.partitionBy("shard").orderBy("_h", key)
     return (
         docs.select(key, h.alias("_h"))

@@ -256,15 +256,16 @@ def q_tokens_shard_order(spark, sf_dir):
     return tokenize.shard_order(load(spark, sf_dir, "documents"), n_shards=16)
 
 
-SQL_TOKENS_SHARD = """
+# the shard expression is BUILT from the same helper the operator uses,
+# so the Spark plan and the oracle can never drift
+SQL_TOKENS_SHARD = f"""
 WITH h AS (
   SELECT doc_id,
          md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'shuffle-v1')) AS h
   FROM documents
 ), s AS (
   SELECT doc_id, h,
-         CAST((ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % 16
-              AS INTEGER) AS shard
+         CAST({tokenize.hex_mod_sql('h', 6, 16)} AS INTEGER) AS shard
   FROM h
 )
 SELECT shard,

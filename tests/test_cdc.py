@@ -656,7 +656,10 @@ def test_crash_between_chunks_redelivery_no_wedge_no_quarantine_loss(
     oracle = replay(events)
     assert_state_matches(fresh, oracle)
     assert fresh.quarantine().count() == len(oracle.quarantine)
-    assert fresh.quarantine().count() > q_before  # chunk0 rows still there
+    # chunk0's rows were never lost (the crashed chunk's finalize quiesces
+    # on the exception path, so q_before may already include chunk1's rows
+    # — redelivery replaces that dir bit-identically)
+    assert fresh.quarantine().count() >= q_before
 
 
 def test_no_persisted_rdd_leak_on_chunk_failure(spark, tmp_path, monkeypatch):

@@ -435,3 +435,19 @@ def test_history_excludes_orphan_snapshot(spark, tmp_path):
     with open(os.path.join(t._meta_dir, f"v{head + 1}.json"), "w") as f:
         json.dump(snap, f)
     assert [s["version"] for s in t.history()] == list(range(head + 1))
+
+
+def test_create_rejects_reserved_layout_columns(spark, tmp_path):
+    """create() enforces the same LAYOUT_RESERVED invariant DDL does — a
+    table born with a '_seq'/'_tag'/'_bucket' user column would corrupt
+    or wedge on its first merge, not error."""
+    import pytest as _pytest
+
+    from file_standardization_etl_spark.lake.table import LakeTable
+
+    for i, bad in enumerate(("_bucket", "_seq", "_tag")):
+        with _pytest.raises(ValueError, match=bad):
+            LakeTable.create(
+                spark, str(tmp_path / f"t{i}"),
+                [("k", "string"), (bad, "bigint")], key_column="k",
+            )

@@ -439,7 +439,12 @@ def test_shard_order_is_deterministic_dense_and_salt_sensitive(spark, docs):
     by_shard = {}
     for r in a:
         by_shard.setdefault(r["shard"], []).append(r["pos"])
-    assert set(by_shard) <= set(range(8))
+    # EVERY shard populated and roughly balanced — pins the hex-decode
+    # shard math (an ascii()-based variant left shards 10-15 of 16
+    # permanently empty and doubled 1-6)
+    assert set(by_shard) == set(range(8))
+    counts = sorted(len(p) for p in by_shard.values())
+    assert counts[-1] <= 3 * counts[0]
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
     # every doc exactly once

@@ -401,9 +401,11 @@ from .queries_ext2 import EXT2_QUERIES  # noqa: E402
 from .queries_entity import ENTITY_QUERIES  # noqa: E402
 from .queries_graph import GRAPH_QUERIES  # noqa: E402
 from .queries_tokens import TOKEN_QUERIES  # noqa: E402
+from .queries_pq import PQ_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EXT2_QUERIES)
 QUERIES.update(ENTITY_QUERIES)
 QUERIES.update(GRAPH_QUERIES)
 QUERIES.update(TOKEN_QUERIES)
+QUERIES.update(PQ_QUERIES)

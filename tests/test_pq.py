@@ -1,0 +1,108 @@
+"""Product-quantization ANN semantics at sf0.001 (full cross-engine
+equality is covered by tools/check_oracle.py `ann_pq_adc_topk`; these
+pin the algorithm against an independent pure-Python recomputation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_standardization_etl_spark.operators import pq
+
+SF = "/root/testdata/sf0.001"
+M, DIMS, DSUB = 4, 64, 16
+INIT = list(range(200, 208))
+QIDS = [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _quant(vec):
+    import math
+
+    return [int(math.floor(v * 100 + 0.5)) for v in vec]
+
+
+def _python_reference(rows, iters=2):
+    """Independent plain-Python PQ: train (Lloyd's, floor-div centroid
+    update, min-dist/min-code tie-break), encode, ADC — mirrors the
+    documented semantics, not the Spark code."""
+    qv = {r["vec_id"]: _quant(r["embedding"]) for r in rows}
+    subs = {
+        (vid, j): v[j * DSUB : (j + 1) * DSUB] for vid, v in qv.items() for j in range(M)
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cents = {(j, cid): subs[(cid, j)] for cid in INIT for j in range(M)}
+    for _ in range(iters):
+        members: dict = {}
+        for (vid, j), sv in subs.items():
+            best = min(
+                (d2(sv, cq), cid) for (sj, cid), cq in cents.items() if sj == j
+            )
+            members.setdefault((j, best[1]), []).append(sv)
+        cents = {
+            key: [sum(col) // len(svs) for col in zip(*svs)]
+            for key, svs in members.items()
+        }
+    codes = {}
+    for vid in qv:
+        if vid in QIDS:
+            continue
+        codes[vid] = [
+            min((d2(subs[(vid, j)], cq), cid) for (sj, cid), cq in cents.items() if sj == j)[1]
+            for j in range(M)
+        ]
+    topk = {}
+    for q in QIDS:
+        dt = {
+            (j, cid): d2(subs[(q, j)], cq) for (j, cid), cq in cents.items()
+        }
+        scored = sorted(
+            (sum(dt[(j, c)] for j, c in enumerate(cs)), vid) for vid, cs in codes.items()
+        )
+        topk[q] = [(rank + 1, vid, d) for rank, (d, vid) in enumerate(scored[:10])]
+    return topk
+
+
+def test_pq_adc_matches_python_reference(spark, emb):
+    rows = [r.asDict() for r in emb.select("vec_id", "embedding").collect()]
+    expected = _python_reference(rows)
+    got = pq.pq_adc_topk(emb, query_ids=QIDS, init_ids=INIT, k=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_dist"])
+        )
+    for q in QIDS:
+        assert sorted(by_q[q]) == expected[q]
+
+
+def test_pq_codes_complete_and_from_trained_codebooks(spark, emb):
+    subs = pq.pq_subvectors(emb, m=M, dims=DIMS)
+    cents = pq.pq_train(emb, INIT, m=M, dims=DIMS, iters=2)
+    codes = pq.pq_codes(subs, cents).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec
+    valid = {
+        (r["sub_id"], r["code_id"]) for r in cents.select("sub_id", "code_id").collect()
+    }
+    for r in codes:
+        assert len(r["codes"]) == M
+        for j, c in enumerate(r["codes"]):
+            assert (j, c) in valid
+
+
+def test_pq_compression_shape(spark, emb):
+    """The scale claim: the ADC scan reads m int codes per vector, not
+    d floats — assert the encoded representation is really m-wide and
+    the scored plan broadcasts the LUT (no shuffle of the corpus)."""
+    out = pq.pq_adc_topk(emb, query_ids=QIDS, init_ids=INIT, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

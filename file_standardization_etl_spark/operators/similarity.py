@@ -212,6 +212,86 @@ def kmeans_integer(
     return cents.select("cent_id", "n_members", F.col("cq").alias("centroid"))
 
 
+def semantic_dup_groups(
+    emb: DataFrame,
+    init_ids: list[int],
+    iters: int = 3,
+    min_cosine: float = 0.35,
+    scale: int = 100,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and removing
+    within-cluster near-duplicates — the published recipe for pruning
+    web-scale training corpora beyond lexical dedup (MinHash/SimHash
+    catch copies; this catches paraphrases that embed together).
+
+    Pipeline: train the exact-integer quantizer (:func:`kmeans_integer`
+    — same broadcast row-local argmin supersteps), assign every vector
+    to its nearest centroid by squared L2 (identical tie-break as
+    training, so the oracle's unrolled SQL lands on the same
+    partition), then search pairs ONLY within a cluster and keep pairs
+    with exact-integer cosine ≥ ``min_cosine``. Per the paper, one
+    representative per duplicate set survives; deterministically the
+    smallest vec_id (same keeper rule as :func:`near_dup_groups`).
+
+    Scale shape: the cluster partition bounds the pair space to
+    Σ_c |c|² — that IS SemDeDup's scaling argument (the paper runs
+    k=50k clusters over LAION). The pair search is a (cluster_id)
+    equi-join, never a cartesian; at 10⁹ docs you raise k so clusters
+    stay bounded (and a degenerate cluster gets the same pre-count cap
+    treatment as the MinHash buckets), plan shape unchanged.
+
+    Returns (dup_vec, cluster_id, keeper, n_near): the vectors SemDeDup
+    would DROP, the cluster they were judged in, the surviving
+    representative, and their near-dup degree."""
+    base = with_quantized(emb, scale)
+    cents = (
+        kmeans_integer(emb, init_ids=init_ids, iters=iters, scale=scale)
+        .select("cent_id", F.col("centroid").alias("cq"))
+        .withColumn("cn", dot_expr(F.col("cq"), F.col("cq")))
+    )
+    carr = cents.agg(F.collect_list(F.struct("cent_id", "cq", "cn")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (F.col("norm2") - 2 * dot_expr(F.col("q"), c["cq"]) + c["cn"]).alias(
+                    "dist"
+                ),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+    asg = (
+        base.join(F.broadcast(carr))
+        .withColumn("b", best)
+        .select("vec_id", "q", "norm2", F.col("b.cent_id").alias("cluster_id"))
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    t2_e4 = int(round(min_cosine * min_cosine * 10_000))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("dot", dot_expr(F.col("a.q"), F.col("b.q")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(10_000)
+                >= F.lit(t2_e4) * F.col("a.norm2") * F.col("b.norm2")
+            )
+        )
+    )
+    return pairs.groupBy(
+        F.col("b.vec_id").alias("dup_vec"), F.col("b.cluster_id").alias("cluster_id")
+    ).agg(
+        F.min(F.col("a.vec_id")).alias("keeper"),
+        F.count(F.lit(1)).alias("n_near"),
+    )
+
+
 def sign_bucket(col, dims: list[int]):
     """Axis-parallel LSH bucket: concatenated sign bits of chosen coords
     (1-based element_at — portable)."""

@@ -139,6 +139,65 @@ SELECT query_id, rank, neighbor_id, adc_dist FROM (
 SQL_ANN_PQ_ADC = _pq_sql()
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over k-means clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SEM_MIN_COSINE = 0.35
+_SEM_T2E4 = int(round(_SEM_MIN_COSINE * _SEM_MIN_COSINE * 10_000))
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: k-means-cluster the embeddings (the same exact-integer
+    quantizer as ann_kmeans_centroids), then drop within-cluster
+    near-duplicates above the cosine threshold, keeping the smallest id
+    per duplicate set. The oracle re-runs the identical unrolled Lloyd
+    iterations, the identical L2 assignment tie-break, and the identical
+    integer threshold test — the full iterative pipeline under the
+    bitwise gate."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dup_groups(
+        emb, init_ids=_KMEANS_INIT, iters=_KMEANS_ITERS, min_cosine=_SEM_MIN_COSINE
+    )
+
+
+def _semantic_sql() -> str:
+    ctes, final = _kmeans_ctes(_KMEANS_INIT, _KMEANS_ITERS)
+    ctes.append(
+        f"""asg AS (
+  SELECT vec_id, qv, norm2, cent_id AS cluster_id FROM (
+    SELECT v.vec_id, v.qv, v.norm2, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.norm2 - 2 * CAST(list_dot_product(v.qv, c.cq) AS BIGINT) + c.cn, c.cent_id) AS rn
+    FROM n2 v CROSS JOIN {final} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""sem_pairs AS (
+  SELECT va, vb, cluster_id FROM (
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster_id,
+           CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+           a.norm2 AS na, b.norm2 AS nb
+    FROM asg a JOIN asg b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  ) WHERE dot > 0 AND dot * dot * 10000 >= {_SEM_T2E4} * na * nb
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT vb AS dup_vec, cluster_id, CAST(MIN(va) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_near
+FROM sem_pairs GROUP BY 1, 2
+"""
+    )
+
+
+SQL_DEDUP_SEMANTIC = _semantic_sql()
+
+
 PQ_QUERIES: dict[str, tuple] = {
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
 }

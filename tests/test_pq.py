@@ -98,6 +98,53 @@ def test_pq_codes_complete_and_from_trained_codebooks(spark, emb):
             assert (j, c) in valid
 
 
+def test_semantic_dedup_matches_within_cluster_bruteforce(spark, emb):
+    """Given the operator's own cluster assignment, the dropped set must
+    equal a plain-Python within-cluster cosine-threshold sweep — pins the
+    pair search and keeper rule independently of Spark expressions."""
+    from file_standardization_etl_spark.operators import similarity
+
+    init = list(range(100, 108))
+    out = {
+        (r["dup_vec"], r["cluster_id"], r["keeper"], r["n_near"])
+        for r in similarity.semantic_dup_groups(emb, init_ids=init, iters=3).collect()
+    }
+    # reconstruct the assignment exactly as the operator defines it
+    rows = [r.asDict() for r in emb.select("vec_id", "embedding").collect()]
+    import math
+
+    qv = {r["vec_id"]: [int(math.floor(v * 100 + 0.5)) for v in r["embedding"]] for r in rows}
+    cents = {
+        r["cent_id"]: list(r["centroid"])
+        for r in similarity.kmeans_integer(emb, init_ids=init, iters=3).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    asg = {}
+    for vid, v in qv.items():
+        n2 = dot(v, v)
+        asg[vid] = min(
+            (n2 - 2 * dot(v, c) + dot(c, c), cid) for cid, c in cents.items()
+        )[1]
+    by_cluster: dict = {}
+    for vid, cid in asg.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    expected: dict = {}
+    t2e4 = int(round(0.35 * 0.35 * 10_000))
+    for cid, vids in by_cluster.items():
+        for i, a in enumerate(sorted(vids)):
+            for b in sorted(vids)[i + 1 :]:
+                d = dot(qv[a], qv[b])
+                if d > 0 and d * d * 10_000 >= t2e4 * dot(qv[a], qv[a]) * dot(qv[b], qv[b]):
+                    ent = expected.setdefault(b, [cid, b, 0])
+                    ent[2] += 1
+                    ent[1] = min(ent[1], a)
+    exp = {(b, cid, keeper, n) for b, (cid, keeper, n) in expected.items()}
+    assert out == exp
+
+
 def test_pq_compression_shape(spark, emb):
     """The scale claim: the ADC scan reads m int codes per vector, not
     d floats — assert the encoded representation is really m-wide and

@@ -1,19 +1,22 @@
-"""Registry tranche 6: product-quantization ANN and semantic dedup —
-the two remaining published training-data-curation methods layered on
-the exact-integer k-means machinery (operators/similarity.py,
-operators/pq.py). Both oracles unroll the identical Lloyd iterations in
-DuckDB SQL (shared CTE builders, same floor-division and tie-break
-rules), so every distance, code assignment and final row is bitwise
-comparable across engines — iterative algorithms under the full
+"""Registry tranche 6: product-quantization ANN, semantic dedup, and the
+end-to-end curation funnel — published training-data-curation methods
+layered on machinery the earlier tranches already verify (the
+exact-integer k-means of operators/similarity.py; the text/token
+operators of operators/textstats.py and operators/tokenize.py). The
+PQ/SemDeDup oracles unroll the identical Lloyd iterations in DuckDB SQL
+(shared CTE builders, same floor-division and tie-break rules); the
+funnel oracle recomputes every stage rule from the same expression
+definitions — iterative and composite pipelines under the full
 rows+schema+hash gate, not rows-only checks."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import pq, similarity
+from ..operators import curation, pq, similarity, tokenize
 from .queries import load
 from .queries_ext2 import _KMEANS_INIT, _KMEANS_ITERS, _kmeans_ctes
+from .queries_tokens import _BUCKET, _SQL_GRAMS
 
 # ---------------------------------------------------------------------------
 # PQ / ADC approximate nearest neighbor (Jégou et al., TPAMI 2011)
@@ -197,7 +200,84 @@ FROM sem_pairs GROUP BY 1, 2
 SQL_DEDUP_SEMANTIC = _semantic_sql()
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation funnel — the full filter chain with per-stage accounting
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_curation_funnel(spark, sf_dir):
+    """The C4/Gopher-style curation pipeline composed end to end
+    (operators/curation.py): language ID → quality gates → repetition
+    rule → exact dedup → train split → decontamination, with survivor
+    counts per cumulative stage. One corpus scan for the row-local
+    flags + exactly the shuffles the standalone operators already cost;
+    the rollup is a single-row prefix-conjunction aggregate unstacked to
+    rows."""
+    return curation.curation_funnel(load(spark, sf_dir, "documents"))
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH wd AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w, CAST({_BUCKET} AS INT) AS b
+  FROM documents
+),
+fl AS (
+  SELECT doc_id, b, md5(text) AS h,
+         len(list_filter(w, x -> x IN ('the','a','and'))) > 0 AS f_lang,
+         (CAST(len(w) AS BIGINT) >= 5
+          AND len(list_filter(w, x -> x IN ('the','a','of','and','to'))) >= 1
+          AND CAST(len(list_distinct(w)) AS BIGINT) * 1000 >= 300 * CAST(len(w) AS BIGINT)
+         ) AS f_quality
+  FROM wd
+),
+rg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 2 + 1),
+                i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))) AS gram
+  FROM wd WHERE len(w) >= 3
+),
+rep AS (
+  SELECT doc_id,
+         CAST((SUM(occ) - COUNT(*)) * 1000 // SUM(occ) AS BIGINT) AS dup_permille
+  FROM (SELECT doc_id, gram, COUNT(*) AS occ FROM rg GROUP BY 1, 2)
+  GROUP BY 1
+),
+keep AS (SELECT h, MIN(doc_id) AS keep_id FROM fl GROUP BY 1),
+{_SQL_GRAMS},
+dirty AS (
+  SELECT DISTINCT t.doc_id FROM g t JOIN g e ON t.gram = e.gram
+  WHERE t.b < {tokenize.TRAIN_PCT} AND e.b >= {tokenize.TRAIN_PCT}
+),
+f AS (
+  SELECT fl.doc_id, f_lang, f_quality,
+         COALESCE(r.dup_permille <= 200, TRUE) AS f_rep,
+         fl.doc_id = k.keep_id AS f_dedup,
+         fl.b < {tokenize.TRAIN_PCT} AS f_train,
+         fl.doc_id NOT IN (SELECT doc_id FROM dirty) AS f_clean
+  FROM fl LEFT JOIN rep r USING (doc_id) JOIN keep k USING (h)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN f_lang AND f_quality THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN f_lang AND f_quality AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(CASE WHEN f_lang AND f_quality AND f_rep AND f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         CAST(SUM(CASE WHEN f_lang AND f_quality AND f_rep AND f_dedup AND f_train THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+         CAST(SUM(CASE WHEN f_lang AND f_quality AND f_rep AND f_dedup AND f_train AND f_clean THEN 1 ELSE 0 END) AS BIGINT) AS s6
+  FROM f
+)
+SELECT 0 AS stage_id, 'all' AS stage, s0 AS docs FROM s
+UNION ALL SELECT 1, 'lang_en', s1 FROM s
+UNION ALL SELECT 2, 'quality', s2 FROM s
+UNION ALL SELECT 3, 'repetition', s3 FROM s
+UNION ALL SELECT 4, 'exact_dedup', s4 FROM s
+UNION ALL SELECT 5, 'train_split', s5 FROM s
+UNION ALL SELECT 6, 'decontaminated', s6 FROM s
+"""
+
+
 PQ_QUERIES: dict[str, tuple] = {
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "corpus_curation_funnel": (q_corpus_curation_funnel, SQL_CURATION_FUNNEL),
 }

@@ -145,6 +145,71 @@ def test_semantic_dedup_matches_within_cluster_bruteforce(spark, emb):
     assert out == exp
 
 
+def test_curation_funnel_matches_python_pipeline(spark):
+    """Recompute all six cumulative stages in plain Python from the raw
+    documents — every rule reimplemented from its documented definition,
+    not from the Spark expressions."""
+    import hashlib
+
+    from file_standardization_etl_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [r.asDict() for r in docs.select("doc_id", "text").collect()]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def bucket(doc_id, salt="split-v1"):
+        return int(md5(f"{salt}:{doc_id}")[:4], 16) % 100
+
+    stop = {"the", "a", "of", "and", "to"}
+    markers = {"the", "a", "and"}
+    grams3 = lambda w: [md5(" ".join(w[i : i + 3])) for i in range(len(w) - 2)]
+
+    flags = {}
+    by_md5: dict = {}
+    train_grams: dict = {}
+    eval_grams: set = set()
+    for r in rows:
+        d, t = r["doc_id"], r["text"]
+        w = t.split(" ")
+        f_lang = any(x in markers for x in w)
+        n, nd, ns = len(w), len(set(w)), sum(1 for x in w if x in stop)
+        f_quality = n >= 5 and ns >= 1 and nd * 1000 >= 300 * n
+        g = grams3(w) if len(w) >= 3 else []
+        f_rep = True
+        if g:
+            occ: dict = {}
+            for x in g:
+                occ[x] = occ.get(x, 0) + 1
+            total, dist = len(g), len(occ)
+            f_rep = (total - dist) * 1000 // total <= 200
+        b = bucket(d)
+        flags[d] = [f_lang, f_quality, f_rep, None, b < 98, None]
+        by_md5.setdefault(md5(t), []).append(d)
+        if b < 98:
+            train_grams[d] = set(g)
+        else:
+            eval_grams |= set(g)
+    for h, ds in by_md5.items():
+        keep = min(ds)
+        for d in ds:
+            flags[d][3] = d == keep
+    for d in flags:
+        flags[d][5] = d not in train_grams or not (train_grams[d] & eval_grams)
+
+    expected = [len(rows)]
+    for i in range(6):
+        expected.append(sum(1 for f in flags.values() if all(f[: i + 1])))
+
+    got = {
+        r["stage_id"]: r["docs"]
+        for r in curation.curation_funnel(docs).collect()
+    }
+    assert [got[i] for i in range(7)] == expected
+    assert all(got[i] >= got[i + 1] for i in range(6))
+
+
 def test_pq_compression_shape(spark, emb):
     """The scale claim: the ADC scan reads m int codes per vector, not
     d floats — assert the encoded representation is really m-wide and

@@ -65,6 +65,15 @@ AUDIT = {
     # must hash-aggregate with map-side partials
     "text_repetition": ["HashAggregate", "Exchange"],
     "tokens_mixture_weights": ["HashAggregate"],
+    # PQ: codebook/centroid folds and the per-(sub,code,pos) sums must
+    # hash-aggregate; the encode/assignment joins broadcast the tiny
+    # codebook side
+    "ann_pq_adc_topk": ["BroadcastHashJoin", "HashAggregate"],
+    # SemDeDup: the pair search must be a cluster_id equi-join (the
+    # BNLJ present is the intentional 1-row centroid-array broadcast)
+    "dedup_semantic": ["HashAggregate"],
+    # funnel: eval-gram side broadcast, single-row rollup hash-aggregated
+    "corpus_curation_funnel": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -94,6 +103,12 @@ PER_QUERY_FORBIDDEN = {
     # the gram-count aggregate must never sort (a SortAggregate here
     # would mean per-doc gram sorting crept into the hot two-level agg)
     "text_repetition": ["SortAggregate", "CartesianProduct"],
+    # PQ/SemDeDup inherit the k-means no-sort rule; nothing may plan a
+    # cartesian (the keyless broadcasts are BNLJ by construction, which
+    # stays allowed only for the tiny LUT/centroid sides)
+    "ann_pq_adc_topk": ["SortAggregate", "CartesianProduct"],
+    "dedup_semantic": ["SortAggregate", "CartesianProduct"],
+    "corpus_curation_funnel": ["CartesianProduct"],
 }
 
 

@@ -74,6 +74,14 @@ AUDIT = {
     "dedup_semantic": ["HashAggregate"],
     # funnel: eval-gram side broadcast, single-row rollup hash-aggregated
     "corpus_curation_funnel": ["BroadcastHashJoin", "HashAggregate"],
+    # time-series tranche: as-of is ONE window over the tagged union (no
+    # join node at all); the range join must be a bucketed equi-join; the
+    # rollup expands grouping sets before the exchange (Expand) and
+    # hash-aggregates with map-side partials
+    "join_asof": ["Window", "Union"],
+    "join_range_bucketed": ["Generate", "Join"],
+    "window_sessionize": ["Window", "HashAggregate"],
+    "agg_time_rollup": ["Expand", "HashAggregate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -109,6 +117,12 @@ PER_QUERY_FORBIDDEN = {
     "ann_pq_adc_topk": ["SortAggregate", "CartesianProduct"],
     "dedup_semantic": ["SortAggregate", "CartesianProduct"],
     "corpus_curation_funnel": ["CartesianProduct"],
+    # a raw BETWEEN range join would plan as BNLJ/cartesian — the bucketed
+    # rewrite must keep it an equi-join; the as-of must stay join-free
+    "join_asof": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    "join_range_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "window_sessionize": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "agg_time_rollup": ["SortAggregate", "CartesianProduct"],
 }
 
 

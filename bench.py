@@ -51,6 +51,8 @@ HEADLINE_QUERIES = [
     "text_repetition",
     "tokens_contamination",
     "tokens_pack_examples",
+    "join_asof",
+    "window_sessionize",
 ]
 
 

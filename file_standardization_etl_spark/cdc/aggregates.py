@@ -184,6 +184,7 @@ class TokenVocab:
         delta: DataFrame,
         affected_buckets: list[int],
         watermark: int,
+        base_empty: bool = False,
     ) -> str | None:
         """Compute the signed (token, d_occ, d_docs) delta for one chunk
         against the PRE-merge snapshot and stage it durably. Must run
@@ -195,24 +196,38 @@ class TokenVocab:
         keys — delta-sized from the first join on; the explodes and count
         aggregation therefore touch O(delta) token arrays, never the
         table.
+
+        ``base_empty=True`` (snapshot bootstrap) skips the old side
+        entirely: the delta there is snapshot-sized, so the unconditional
+        ``F.broadcast(delta)`` below — fine at micro-batch scale — would
+        ship the whole corpus key set to every executor. With an empty
+        base the minus side is vacuously empty and no join is needed.
         """
-        names = {c.id: c.name for c in self.target.schema().columns}
-        key = names[self._fid_doc]
-        old = (
-            self.target.read(buckets=affected_buckets)
-            .select(
-                F.col(key).alias("doc_id"),
-                F.col(names[self._fid_lsn]).alias("__old_lsn"),
-                F.coalesce(F.col(names[self._fid_deleted]), F.lit(False)).alias(
-                    "__old_del"
-                ),
-                F.col(names[self._fid_tokens]).alias("__old_toks"),
+        if base_empty:
+            j = delta.select("doc_id", "lsn", "op", "tokens").select(
+                "*",
+                F.lit(None).cast("long").alias("__old_lsn"),
+                F.lit(None).cast("boolean").alias("__old_del"),
+                F.lit(None).cast("array<bigint>").alias("__old_toks"),
             )
-            .join(F.broadcast(delta.select("doc_id")), "doc_id")
-        )
-        j = delta.select("doc_id", "lsn", "op", "tokens").join(
-            F.broadcast(old), "doc_id", "left"
-        )
+        else:
+            names = {c.id: c.name for c in self.target.schema().columns}
+            key = names[self._fid_doc]
+            old = (
+                self.target.read(buckets=affected_buckets)
+                .select(
+                    F.col(key).alias("doc_id"),
+                    F.col(names[self._fid_lsn]).alias("__old_lsn"),
+                    F.coalesce(F.col(names[self._fid_deleted]), F.lit(False)).alias(
+                        "__old_del"
+                    ),
+                    F.col(names[self._fid_tokens]).alias("__old_toks"),
+                )
+                .join(F.broadcast(delta.select("doc_id")), "doc_id")
+            )
+            j = delta.select("doc_id", "lsn", "op", "tokens").join(
+                F.broadcast(old), "doc_id", "left"
+            )
         take = F.col("__old_lsn").isNull() | (F.col("lsn") > F.col("__old_lsn"))
         empty = F.array().cast("array<bigint>")
         plus_arr = F.when(

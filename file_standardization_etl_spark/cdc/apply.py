@@ -243,6 +243,198 @@ class CdcEngine:
     def applied_lsn(self) -> int:
         return int(self.table.properties().get("max_applied_lsn", 0))
 
+    # ---------- snapshot bootstrap (initial load, then tail) ----------
+
+    def bootstrap(
+        self, snapshot: DataFrame, as_of_lsn: int, batch_id: int = 0
+    ) -> BatchMetrics:
+        """Seed a FRESH table from a consistent source snapshot taken at
+        ``as_of_lsn``, so the WAL can be tailed from that point — the
+        snapshot-then-stream shape every production CDC deployment starts
+        with (the reference's equivalent is its initial full-file load
+        before incremental runs, file_standardization_job.py:199-240).
+
+        Contract:
+        - ``snapshot`` has one row per live doc: (doc_id, tokens, n_tok,
+          source) plus an optional per-row ``lsn`` (the source LSN each
+          row was read at; defaults to ``as_of_lsn``). Per-row LSNs must
+          be in [1, as_of_lsn] and doc_ids unique — both asserted with
+          one narrow aggregate (no token arrays in the agg buffer).
+        - Rows pass the SAME validation battery as the stream; invalid
+          rows land in quarantine under this batch_id, valid rows become
+          the table state with ``deleted=false``.
+        - Exactly-once: quarantine is stage-then-renamed (idempotent on
+          re-run), the vocab outbox (if enabled) is staged durably via
+          ``pre_commit``, and the data + ``max_applied_lsn=as_of_lsn``
+          watermark land in ONE commit. A crash anywhere before that
+          commit leaves the table fresh — re-running bootstrap is safe;
+          after it, re-running raises and tailing resumes at the
+          watermark, so redelivered WAL prefixes no-op.
+        - Scale shape: token arrays are decoded in exactly one full pass
+          (the bucketed overwrite write; plus one more if vocab
+          maintenance is on). No LWW shuffle — a consistent snapshot is
+          already one row per key, which is why uniqueness is asserted
+          rather than deduped (ties at equal LSN would be
+          nondeterministic).
+        """
+        if as_of_lsn < 1:
+            raise ValueError(f"as_of_lsn must be >= 1, got {as_of_lsn}")
+        props = self.table.properties()
+        if int(props.get("max_applied_lsn", 0)) != 0 or int(
+            props.get("last_batch_id", -1)
+        ) != -1:
+            raise ValueError(
+                "bootstrap requires a fresh table (nothing applied); this "
+                f"table is at lsn={props.get('max_applied_lsn')} "
+                f"batch={props.get('last_batch_id')} — tail the WAL instead"
+            )
+        cols = snapshot.columns
+        if "lsn" not in cols:
+            snapshot = snapshot.withColumn("lsn", F.lit(as_of_lsn).cast("long"))
+        snap_wire = snapshot.select(
+            "doc_id", "tokens", "n_tok", "source", "lsn"
+        ).withColumn("op", F.lit("insert"))
+
+        lineage_future = self._pool.submit(
+            lambda: snap_wire.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+            )
+            .collect()
+        )
+        # narrow integrity agg: doc_id/lsn only, map-side combined
+        stats = snap_wire.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("lsn").alias("lmin"),
+            F.max("lsn").alias("lmax"),
+        ).collect()[0]
+        rows_in = stats["n"] or 0
+        if rows_in and stats["nd"] != rows_in:
+            raise ValueError(
+                f"snapshot is not one row per doc_id ({rows_in} rows, "
+                f"{stats['nd']} keys) — a consistent snapshot cannot "
+                "contain duplicates; dedup upstream (LWW needs an LSN order)"
+            )
+        if rows_in and (stats["lmin"] < 1 or stats["lmax"] > as_of_lsn):
+            raise ValueError(
+                f"per-row lsn range [{stats['lmin']}, {stats['lmax']}] "
+                f"outside [1, as_of_lsn={as_of_lsn}]"
+            )
+
+        expr_r = validation_reason_expr(
+            F.col("op"), F.col("tokens"), F.col("n_tok"), F.col("source"),
+            self.whitelist,
+        )
+        valid = snap_wire.filter(expr_r.isNull())
+        invalid = snap_wire.filter(expr_r.isNotNull())
+
+        # quarantine: same stage-then-swap shape as the streaming finalize
+        ck = as_of_lsn
+        by_reason: dict[str, int] = {}
+        rows_q = 0
+        qdir = os.path.join(
+            self.quarantine_path, f"batch_id={batch_id}", f"chunk={ck}"
+        )
+        tmp = os.path.join(self.table_path, "_staging", f"quar_b{batch_id}_c{ck}")
+        mode = "slim" if self.validation_mode == "hybrid" else self.validation_mode
+        obs = Observation(f"bootstrap-quar-{batch_id}")
+        reasoned = with_reason(invalid, self.whitelist, mode=mode).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                for r in QUARANTINE_REASONS
+            ],
+        )
+        reasoned.write.mode("overwrite").parquet(tmp)
+        qm = obs.get
+        rows_q = int(qm.get("n") or 0)
+        if rows_q > 0:
+            if os.path.exists(qdir):
+                shutil.rmtree(qdir)
+            os.makedirs(os.path.dirname(qdir), exist_ok=True)
+            os.rename(tmp, qdir)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+        for r in QUARANTINE_REASONS:
+            c = int(qm.get(r) or 0)
+            if c:
+                by_reason[r] = c
+
+        stage_future = None
+        if self._vocab is not None:
+            delta_wire = valid.select("doc_id", "lsn", "op", "tokens")
+            stage_future = self._pool.submit(
+                self._vocab.stage_delta,
+                batch_id, ck, delta_wire, [], as_of_lsn, True,
+            )
+
+        n = self._names()
+        target = valid.select(
+            F.col("doc_id").alias(n[FID_DOC]),
+            F.col("tokens").alias(n[FID_TOKENS]),
+            F.col("n_tok").alias(n[FID_NTOK]),
+            F.col("source").alias(n[FID_SOURCE]),
+            F.col("lsn").alias(n[FID_LSN]),
+            F.lit(False).alias(n[FID_DELETED]),
+        )
+        try:
+            self.table.overwrite(
+                target,
+                expected_version=self.table.current_version(),
+                properties_update={
+                    "max_applied_lsn": as_of_lsn,
+                    "last_batch_id": batch_id,
+                },
+                pre_commit=(
+                    stage_future.result if stage_future is not None else None
+                ),
+            )
+        except BaseException:
+            if stage_future is not None:
+                try:
+                    stage_future.result()
+                except Exception:
+                    pass
+            raise
+        if stage_future is not None:
+            self._vocab.maybe_fold()
+
+        cells = lineage_future.result()
+        rows_valid = rows_in - rows_q
+        metrics = BatchMetrics(
+            batch_id=batch_id,
+            chunks=1,
+            rows_in=rows_in,
+            rows_valid=rows_valid,
+            rows_quarantined=rows_q,
+            quarantine_by_reason=by_reason,
+            rows_upserts=rows_valid,
+            rows_deletes=0,
+            schema_changes=0,
+            lsn_min=stats["lmin"],
+            lsn_max=stats["lmax"],
+            max_key_rows=1 if rows_in else 0,
+            distinct_keys=rows_valid,
+            salted=False,
+            partitions=[
+                {
+                    "chunk": 0,
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                    "lsn_min": r["lsn_min"],
+                    "lsn_max": r["lsn_max"],
+                }
+                for r in cells
+            ],
+            table_version=self.table.current_version(),
+        )
+        self._write_manifest(metrics)
+        return metrics
+
     # ---------- field-id → current-name resolution ----------
 
     def _names(self) -> dict[int, str]:

@@ -743,7 +743,13 @@ class LakeTable:
             for f in fs
         )
 
-    def overwrite(self, df: DataFrame, expected_version: int | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        expected_version: int | None = None,
+        properties_update: dict | None = None,
+        pre_commit=None,
+    ) -> None:
         """Replace the whole table content (used for seeding/compaction).
 
         ``expected_version``: the snapshot version ``df`` was derived
@@ -753,7 +759,12 @@ class LakeTable:
         overwrite would be silently erased (this method's own snapshot()
         would see the newer version, pass the optimistic check, and
         commit stale data over it). With it, the race surfaces as
-        CommitConflict and the caller retries against fresh state."""
+        CommitConflict and the caller retries against fresh state.
+
+        ``properties_update`` rides in the SAME commit and ``pre_commit``
+        runs durably before it — the same exactly-once contract
+        :meth:`merge` gives the CDC engine (watermark + outbox staging
+        atomic with the data), used by the snapshot-bootstrap path."""
         snap = self.snapshot()
         v = snap["version"]
         if expected_version is not None and v != expected_version:
@@ -766,6 +777,10 @@ class LakeTable:
             "_bucket", bucket_expr(F.col(key), snap["n_buckets"])
         )
         new_files = self._write_buckets(withb, v + 1)
+        if pre_commit is not None:
+            pre_commit()
+        if properties_update:
+            snap["properties"].update(properties_update)
         self._files_replace(
             snap,
             [],

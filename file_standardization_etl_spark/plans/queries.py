@@ -403,6 +403,7 @@ from .queries_graph import GRAPH_QUERIES  # noqa: E402
 from .queries_tokens import TOKEN_QUERIES  # noqa: E402
 from .queries_pq import PQ_QUERIES  # noqa: E402
 from .queries_time import TIME_QUERIES  # noqa: E402
+from .queries_corpus import CORPUS_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EXT2_QUERIES)
@@ -411,3 +412,4 @@ QUERIES.update(GRAPH_QUERIES)
 QUERIES.update(TOKEN_QUERIES)
 QUERIES.update(PQ_QUERIES)
 QUERIES.update(TIME_QUERIES)
+QUERIES.update(CORPUS_QUERIES)

@@ -82,6 +82,13 @@ AUDIT = {
     "join_range_bucketed": ["Generate", "Join"],
     "window_sessionize": ["Window", "HashAggregate"],
     "agg_time_rollup": ["Expand", "HashAggregate"],
+    # corpus tranche: sampling is a map-only projection (Exchange
+    # forbidden below); the inverted index caps postings via a window
+    # on the same key its aggregate groups by; percentiles are one
+    # window pass
+    "tokens_stratified_sample": ["Filter"],
+    "text_inverted_index": ["Window", "HashAggregate"],
+    "agg_percentiles": ["Window", "Generate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -123,6 +130,11 @@ PER_QUERY_FORBIDDEN = {
     "join_range_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "window_sessionize": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "agg_time_rollup": ["SortAggregate", "CartesianProduct"],
+    # sampling must stay a stateless map-only pass — any Exchange means
+    # somebody added a shuffle to a pure hash decision
+    "tokens_stratified_sample": ["Exchange"],
+    "text_inverted_index": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "agg_percentiles": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 

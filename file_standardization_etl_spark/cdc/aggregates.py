@@ -112,6 +112,21 @@ class TokenVocab:
             out.append((pend, meta))
         return out
 
+    def _merge_committed(self, meta: dict) -> bool:
+        """Did the target merge this pending delta was staged for commit?
+
+        Stream chunks advance the watermark, so ``meta['watermark'] <=
+        applied`` decides. A quarantine-requeue merge CANNOT advance the
+        watermark (its LSNs are all below it), so its pending meta
+        instead carries ``requires_version`` — the target version its
+        merge will create (current+1, sound under the engine's
+        single-writer contract) — and commit is decided by version."""
+        rv = meta.get("requires_version")
+        if rv is not None:
+            return self.target.current_version() >= int(rv)
+        applied = int(self.target.properties().get("max_applied_lsn", 0))
+        return int(meta["watermark"]) <= applied
+
     def fold_ready(self) -> int:
         """Fold every pending delta whose target merge has committed
         (watermark at or below the target's applied LSN); returns how
@@ -120,11 +135,10 @@ class TokenVocab:
         marker) — this is what makes ``fold_every > 1`` an amortization
         instead of a deferral. Pendings beyond the watermark are left in
         place — mid-run that just means their merge hasn't happened yet."""
-        applied = int(self.target.properties().get("max_applied_lsn", 0))
         marker = self._marker()
         ready = []
         for pend, meta in self._pending():
-            if meta is None or int(meta["watermark"]) > applied:
+            if meta is None or not self._merge_committed(meta):
                 continue
             if (int(meta["batch_id"]), int(meta["chunk"])) <= marker:
                 shutil.rmtree(pend, ignore_errors=True)  # fold committed, delete died
@@ -162,13 +176,12 @@ class TokenVocab:
     def recover(self) -> None:
         """Apply or discard pending deltas left by a crash (see module
         docstring for the three-way decision)."""
-        applied = int(self.target.properties().get("max_applied_lsn", 0))
         for pend, meta in self._pending():
             if meta is None:
                 # crash mid-stage (meta is written last): never folded,
                 # never committed against — redelivery re-stages it
                 shutil.rmtree(pend, ignore_errors=True)
-            elif int(meta["watermark"]) <= applied:
+            elif self._merge_committed(meta):
                 self.fold(pend)
             else:
                 # merge never committed: the chunk will be redelivered
@@ -185,6 +198,7 @@ class TokenVocab:
         affected_buckets: list[int],
         watermark: int,
         base_empty: bool = False,
+        requires_version: int | None = None,
     ) -> str | None:
         """Compute the signed (token, d_occ, d_docs) delta for one chunk
         against the PRE-merge snapshot and stage it durably. Must run
@@ -282,14 +296,17 @@ class TokenVocab:
         # meta last: a dir without meta.json is a crashed stage and is
         # swept, never folded
         tmp = os.path.join(pend, "meta.json.tmp")
+        meta = {
+            "batch_id": batch_id,
+            "chunk": chunk,
+            "watermark": int(watermark),
+            "n_rows": n_rows,
+        }
+        if requires_version is not None:
+            meta["requires_version"] = int(requires_version)
         with open(tmp, "w") as f:
             json.dump(
-                {
-                    "batch_id": batch_id,
-                    "chunk": chunk,
-                    "watermark": int(watermark),
-                    "n_rows": n_rows,
-                },
+                meta,
                 f,
             )
             f.flush()

@@ -204,6 +204,17 @@ class CdcEngine:
         # swept; the data path's correctness never depends on staging.
         # Safe here: ingest is single-writer and this engine has not
         # started its own staging yet.
+        # requeue_quarantine archive-swap recovery: a crash between the
+        # two renames leaves only `.old` (original content, rescued rows
+        # included) — restore it; the already-merged rescues simply
+        # no-op on the LSN guard when requeued again. `.old` next to a
+        # live archive means the swap completed — drop the leftover.
+        _old = self.quarantine_archive_path + ".old"
+        if os.path.isdir(_old):
+            if not os.path.isdir(self.quarantine_archive_path):
+                os.rename(_old, self.quarantine_archive_path)
+            else:
+                shutil.rmtree(_old, ignore_errors=True)
         stg = os.path.join(self.table_path, "_staging")
         if os.path.isdir(stg):
             for d in sorted(os.listdir(stg)):
@@ -621,6 +632,151 @@ class CdcEngine:
                 pass
         return n
 
+    def requeue_quarantine(self, whitelist: list[str] | None = None) -> dict:
+        """Re-validate quarantined events against ``whitelist`` (typically
+        a widened source whitelist after a config fix) and apply the
+        now-valid ones through the standard LWW merge — the dead-letter
+        replay every production CDC pipeline eventually needs.
+
+        Correctness comes from the merge's own monotone-LSN guard: a
+        rescued event's LSN is below the watermark by construction, so if
+        its doc has since received a newer event the rescue loses the LWW
+        compare and changes nothing; otherwise it applies exactly as it
+        would have originally. The watermark itself never moves.
+
+        Exactly-once across crashes, in commit order:
+        1. vocab outbox (if enabled) stages with ``requires_version`` =
+           the version this merge will create — recovery folds it only if
+           that version exists (a watermark comparison can't decide here
+           because requeue doesn't advance it);
+        2. the merge commits data (+ unchanged watermark properties);
+        3. rescued rows are dropped from quarantine via
+           compact-then-filtered-archive-swap. A crash before (3) leaves
+           them quarantined but already applied — a re-run re-rescues
+           them and every merge no-ops on the LSN guard, then completes
+           the cleanup. The archive swap itself is crash-recovered by
+           ``init()`` (``quarantine_archive.old``).
+
+        Ops contract: run with the ingester stopped (like ``rebucket``) —
+        the archive swap and the requires_version reasoning both assume
+        this process is the single writer.
+
+        Returns {"examined", "rescued", "merged"} counts.
+        """
+        wl = list(whitelist) if whitelist is not None else list(self.whitelist)
+        q = self.quarantine()
+        expr_r = validation_reason_expr(
+            F.col("op"), F.col("tokens"), F.col("n_tok"), F.col("source"), wl
+        )
+        # materialize the rescued set FIRST: every later step (LWW, merge
+        # delta, cleanup anti-join) reads this file-backed frame, because
+        # the source quarantine paths are mutated by the cleanup below and
+        # a lazy plan over them would recompute against moved files
+        rescued_stage = os.path.join(self.table_path, "_staging", "requeue_rescued")
+        obs_r = Observation("requeue-rescued")
+        q.filter(expr_r.isNull()).select(
+            "doc_id", "lsn", "op", "tokens", "n_tok", "source"
+        ).observe(obs_r, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(rescued_stage)
+        rescued_n = int(obs_r.get.get("n") or 0)
+        if rescued_n == 0:
+            examined = q.count()
+            shutil.rmtree(rescued_stage, ignore_errors=True)
+            return {"examined": examined, "rescued": 0, "merged": 0}
+        rescued = self.spark.read.parquet(rescued_stage)
+        # LWW within the rescued set (one doc may have several rescued
+        # events). Deletes never quarantine, so every row is an upsert and
+        # max(lsn) alone picks the winner — an all-primitive HashAggregate,
+        # no struct buffer (same rule as the hot path).
+        winners = rescued.groupBy("doc_id").agg(F.max("lsn").alias("lsn"))
+        delta = rescued.join(winners, ["doc_id", "lsn"])
+        nb = self.table.snapshot()["n_buckets"]
+        stats = (
+            delta.select(bucket_expr(F.col("doc_id"), nb).alias("_b"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_set("_b").alias("buckets"))
+            .collect()[0]
+        )
+        n_delta = int(stats["n"] or 0)
+        affected = [int(b) for b in (stats["buckets"] or [])]
+
+        stage_future = None
+        if self._vocab is not None:
+            rv = self.table.current_version() + 1
+            stage_future = self._pool.submit(
+                self._vocab.stage_delta,
+                int(self.table.properties().get("last_batch_id", -1)),
+                self.applied_lsn() + 1 + rv,  # monotone chunk key (> any
+                # stream chunk's lsn-keyed id for this batch, and strictly
+                # increasing across consecutive requeues via the version)
+                delta,
+                affected,
+                self.applied_lsn(),
+                False,
+                rv,
+            )
+        try:
+            self._merge_chunk(
+                delta,
+                n_delta,
+                watermark=self.applied_lsn(),
+                batch_id=int(self.table.properties().get("last_batch_id", -1)),
+                affected_buckets=affected,
+                pre_commit=(
+                    stage_future.result if stage_future is not None else None
+                ),
+                # MUST be copy-on-write: merge-on-read's read resolution
+                # lets the newest delta commit win per key, which is only
+                # correct when delta LSNs are monotone above the base
+                # (stream batches, via the watermark filter). Requeued
+                # LSNs are below the watermark by construction — only the
+                # CoW resolver's explicit `new.lsn > old.last_lsn` guard
+                # evaluates them correctly.
+                mode="cow",
+            )
+        except BaseException:
+            if stage_future is not None:
+                try:
+                    stage_future.result()
+                except Exception:
+                    pass
+            raise
+        if stage_future is not None:
+            self._vocab.maybe_fold()
+
+        # cleanup: fold the live tree into the archive, then swap in an
+        # archive minus every rescued lsn (winners AND superseded losers —
+        # the losers can never apply again either)
+        self.compact_quarantine()
+        schema = self._quarantine_schema()
+        kept = 0
+        if os.path.isdir(self.quarantine_archive_path):
+            arch = self.spark.read.schema(schema).parquet(
+                self.quarantine_archive_path
+            )
+            keep = arch.join(rescued.select("lsn"), "lsn", "left_anti").select(
+                *[f.name for f in schema.fields]
+            )
+            obs = Observation("requeue-keep")
+            tmp = os.path.join(self.table_path, "_staging", "requeue_archive")
+            keep.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            kept = int(obs.get.get("n") or 0)
+            # crash-recovered swap (init() handles a dangling .old)
+            old = self.quarantine_archive_path + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self.quarantine_archive_path, old)
+            os.rename(tmp, self.quarantine_archive_path)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(rescued_stage, ignore_errors=True)
+        return {
+            "examined": kept + rescued_n,
+            "rescued": rescued_n,
+            "merged": n_delta,
+        }
+
     def manifest(self) -> list[dict]:
         out = []
         for f in sorted(os.listdir(self.manifest_dir)):
@@ -640,6 +796,7 @@ class CdcEngine:
         affected_buckets: list[int] | None = None,
         delta_bytes: int | None = None,
         pre_commit=None,
+        mode: str | None = None,
     ) -> None:
         n = self._names()
         key = n[FID_DOC]
@@ -701,7 +858,7 @@ class CdcEngine:
             delta_rows=delta_rows,
             affected_buckets=affected_buckets,
             delta_bytes=delta_bytes,
-            mode=self.merge_mode,
+            mode=mode if mode is not None else self.merge_mode,
             pre_commit=pre_commit,
         )
 

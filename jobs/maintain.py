@@ -7,7 +7,8 @@ housekeeping runs, typically off-peak::
     spark-submit --py-files dist/engine.zip jobs/maintain.py \
         --table-dir s3a://bucket/lake \
         [--compact] [--expire-tombstones] \
-        [--rebucket N] [--expire-snapshots KEEP] [--compact-quarantine]
+        [--rebucket N] [--expire-snapshots KEEP] [--compact-quarantine] \
+        [--requeue-whitelist web,books,newsource]
 
 Every op is independently safe: compaction/rebucket are single atomic
 snapshot swaps, snapshot GC only deletes below the retention horizon,
@@ -48,6 +49,10 @@ def main():
                          "(in-flight-commit protection); 0 only with the ingester stopped")
     ap.add_argument("--compact-quarantine", action="store_true",
                     help="fold per-batch quarantine dirs into the consolidated archive")
+    ap.add_argument("--requeue-whitelist", default=None,
+                    help="comma-separated source whitelist: re-validate quarantined "
+                         "events against it and LWW-merge the now-valid ones "
+                         "(dead-letter replay; run with the ingester stopped)")
     args = ap.parse_args()
     if args.expire_tombstones and not args.compact:
         ap.error("--expire-tombstones only acts during --compact; pass both")
@@ -80,6 +85,10 @@ def main():
         report["tombstones_expired_below"] = wm
     if args.compact_quarantine:
         report["quarantine_rows_archived"] = engine.compact_quarantine()
+    if args.requeue_whitelist:
+        report["requeue"] = engine.requeue_quarantine(
+            [s for s in args.requeue_whitelist.split(",") if s]
+        )
     if args.expire_snapshots:
         report["gc"] = engine.table.expire_snapshots(
             keep_last=args.expire_snapshots, grace_seconds=args.gc_grace

@@ -1,0 +1,175 @@
+"""Dead-letter replay: requeue_quarantine re-validates quarantined events
+against a widened whitelist and applies the now-valid ones through the
+standard LWW merge — superseded rescues must lose to newer state, the
+watermark must not move, re-runs must no-op, and the vocab aggregate must
+stay exact across the requeue commit."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from file_standardization_etl_spark.cdc.apply import CdcEngine
+from file_standardization_etl_spark.cdc.events import (
+    EventGenConfig,
+    events_df,
+    generate_events,
+)
+from file_standardization_etl_spark.cdc.oracle import replay
+
+from tests.test_cdc import make_engine
+
+# default whitelist + the generator's named bad sources ('' stays bad, so
+# some bad_source rows remain quarantined after the requeue)
+WIDE = ["web", "books", "code", "wiki", "forum", "spam", "unknown"]
+
+
+def oracle_after_requeue(events, whitelist):
+    """Dict-oracle expectation: replay, then LWW-apply the quarantined
+    events that the widened whitelist now admits."""
+    st = replay(events)
+    rescued = [
+        q for q in st.quarantine
+        if q["reason"] == "bad_source" and q["source"] in whitelist
+    ]
+    for ev in sorted(rescued, key=lambda e: e["lsn"]):
+        doc = st.docs.get(ev["doc_id"])
+        if doc is not None and ev["lsn"] <= doc["last_lsn"]:
+            continue
+        st.docs[ev["doc_id"]] = {
+            "tokens": ev["tokens"], "n_tok": ev["n_tok"],
+            "source": ev["source"], "last_lsn": ev["lsn"], "deleted": False,
+        }
+    remaining = [q for q in st.quarantine if q not in rescued]
+    return st, rescued, remaining
+
+
+def state_dict(engine):
+    return {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["last_lsn"])
+        for r in engine.state().collect()
+    }
+
+
+def test_requeue_applies_rescues_and_prunes_quarantine(spark, tmp_path):
+    cfg = EventGenConfig(n_events=3000, n_docs=400, seed=67, bad_source_frac=0.1)
+    events = generate_events(cfg)
+    eng = make_engine(spark, tmp_path)
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    before_wm = eng.applied_lsn()
+
+    m = eng.requeue_quarantine(WIDE)
+    st, rescued, remaining = oracle_after_requeue(events, WIDE)
+    assert m["rescued"] == len(rescued) > 0
+    assert m["examined"] == len(rescued) + len(remaining)
+    assert eng.applied_lsn() == before_wm  # watermark never moves
+
+    want = {
+        k: (list(v["tokens"]), v["n_tok"], v["source"], v["last_lsn"])
+        for k, v in st.docs.items() if not v["deleted"]
+    }
+    assert state_dict(eng) == want
+    # rescued rows are gone from quarantine; everything else kept
+    got_q = {r["lsn"]: r["reason"] for r in eng.quarantine().collect()}
+    assert got_q == {q["lsn"]: q["reason"] for q in remaining}
+
+    # idempotent: nothing left to rescue, state unchanged
+    m2 = eng.requeue_quarantine(WIDE)
+    assert m2["rescued"] == 0 and m2["merged"] == 0
+    assert state_dict(eng) == want
+
+
+def test_requeue_loses_to_newer_state(spark, tmp_path):
+    eng = make_engine(spark, tmp_path)
+    base = {"tokens": [1, 2], "n_tok": 2, "schema_change": None, "ts": None}
+    events = [
+        {"lsn": 1, "op": "insert", "doc_id": "d1", "source": "nope", **base},
+        {"lsn": 2, "op": "update", "doc_id": "d1", "source": "web",
+         "tokens": [9], "n_tok": 1, "schema_change": None, "ts": None},
+        {"lsn": 3, "op": "insert", "doc_id": "d2", "source": "nope", **base},
+    ]
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    m = eng.requeue_quarantine(["web", "nope"])
+    assert m["rescued"] == 2 and m["merged"] == 2
+    got = state_dict(eng)
+    # d1's rescue (lsn 1) lost to the applied lsn-2 update; d2 applied
+    assert got["d1"] == ([9], 1, "web", 2)
+    assert got["d2"] == ([1, 2], 2, "nope", 3)
+
+
+def test_requeue_maintains_vocab_exactly(spark, tmp_path):
+    from tests.test_vocab import maintained, recompute
+
+    cfg = EventGenConfig(n_events=2000, n_docs=250, seed=71, bad_source_frac=0.12)
+    events = generate_events(cfg)
+    eng = make_engine(spark, tmp_path, maintain_vocab=True)
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    m = eng.requeue_quarantine(WIDE)
+    assert m["rescued"] > 0
+    assert maintained(eng) == recompute(eng)
+    # and a crash-shaped restart folds/discards pendings correctly
+    fresh = CdcEngine(spark, str(tmp_path / "cdc"), maintain_vocab=True)
+    fresh.init()
+    assert maintained(fresh) == recompute(fresh)
+
+
+def test_requeue_vocab_pending_from_uncommitted_merge_is_discarded(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the vocab outbox stage and the requeue merge commit:
+    recovery must DISCARD the pending (requires_version never appeared) —
+    the watermark comparison alone would wrongly fold it."""
+    from tests.test_vocab import maintained, recompute
+    from file_standardization_etl_spark.lake.table import LakeTable
+
+    cfg = EventGenConfig(n_events=1500, n_docs=200, seed=73, bad_source_frac=0.1)
+    events = generate_events(cfg)
+    eng = make_engine(spark, tmp_path, maintain_vocab=True)
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+
+    real_merge = LakeTable.merge
+
+    def dying_merge(self, *a, **kw):
+        if kw.get("pre_commit") is not None:
+            kw["pre_commit"]()  # outbox staged durably...
+            raise RuntimeError("crash before commit")
+        return real_merge(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "merge", dying_merge)
+    try:
+        eng.requeue_quarantine(WIDE)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(LakeTable, "merge", real_merge)
+
+    fresh = CdcEngine(spark, str(tmp_path / "cdc"), maintain_vocab=True)
+    fresh.init()  # recovery: pending has requires_version > current -> discard
+    assert maintained(fresh) == recompute(fresh)
+    # and the rescue can be re-run to completion afterwards
+    m = fresh.requeue_quarantine(WIDE)
+    assert m["rescued"] > 0
+    assert maintained(fresh) == recompute(fresh)
+
+
+def test_init_recovers_interrupted_archive_swap(spark, tmp_path):
+    eng = make_engine(spark, tmp_path)
+    events = generate_events(EventGenConfig(n_events=500, n_docs=80, seed=77))
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    eng.compact_quarantine()
+    before = {r["lsn"] for r in eng.quarantine().collect()}
+    assert before
+    # simulate a crash between the two renames: only .old exists
+    os.rename(eng.quarantine_archive_path, eng.quarantine_archive_path + ".old")
+    fresh = CdcEngine(spark, str(tmp_path / "cdc"))
+    fresh.init()
+    assert {r["lsn"] for r in fresh.quarantine().collect()} == before
+    # and a completed swap with a dangling .old drops the leftover
+    shutil.copytree(
+        fresh.quarantine_archive_path, fresh.quarantine_archive_path + ".old"
+    )
+    again = CdcEngine(spark, str(tmp_path / "cdc"))
+    again.init()
+    assert not os.path.isdir(again.quarantine_archive_path + ".old")
+    assert {r["lsn"] for r in again.quarantine().collect()} == before

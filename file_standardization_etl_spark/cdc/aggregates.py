@@ -112,43 +112,75 @@ class TokenVocab:
             out.append((pend, meta))
         return out
 
-    def _merge_committed(self, meta: dict) -> bool:
+    @staticmethod
+    def _merge_committed(meta: dict, applied: int, version: int) -> bool:
         """Did the target merge this pending delta was staged for commit?
+        (``applied``/``version`` are read once per fold/recover pass,
+        not per pending — a backlog would otherwise re-parse the target
+        snapshot JSON N times.)
 
         Stream chunks advance the watermark, so ``meta['watermark'] <=
         applied`` decides. A quarantine-requeue merge CANNOT advance the
         watermark (its LSNs are all below it), so its pending meta
         instead carries ``requires_version`` — the target version its
         merge will create (current+1, sound under the engine's
-        single-writer contract) — and commit is decided by version."""
+        single-writer contract) — and commit is decided by version.
+
+        The version gate also relies on the lifecycle contract that
+        ``recover()`` runs at engine init, BEFORE any new commit: a
+        pending whose requeue merge crashed pre-commit is discarded
+        while current_version is still below requires_version. If an
+        unrelated later commit could take that version first, the
+        phantom delta would fold — init-before-commit is what rules
+        that out."""
         rv = meta.get("requires_version")
         if rv is not None:
-            return self.target.current_version() >= int(rv)
-        applied = int(self.target.properties().get("max_applied_lsn", 0))
+            return version >= int(rv)
         return int(meta["watermark"]) <= applied
+
+    def _already_folded(self, meta: dict) -> bool:
+        """Fold-committed-but-delete-died detection, per pending type.
+
+        Requeue pendings track their OWN monotone marker
+        (``folded_requeue_version``): their synthetic chunk ids must not
+        enter the stream (batch, chunk) order — a requeue folding at
+        (B, huge) would otherwise advance the stream marker past a
+        redelivered batch-B chunk whose lsn-keyed id is smaller, and
+        that chunk's delta would be dropped unfolded (silent drift)."""
+        rv = meta.get("requires_version")
+        if rv is not None:
+            p = self.table.properties()
+            return int(rv) <= int(p.get("folded_requeue_version", -1))
+        return (int(meta["batch_id"]), int(meta["chunk"])) <= self._marker()
 
     def fold_ready(self) -> int:
         """Fold every pending delta whose target merge has committed
         (watermark at or below the target's applied LSN); returns how
-        many folded. A backlog folds as ONE combined merge (union the
-        staged parquet, re-sum by token, single commit at the max
+        many folded. A stream backlog folds as ONE combined merge (union
+        the staged parquet, re-sum by token, single commit at the max
         marker) — this is what makes ``fold_every > 1`` an amortization
         instead of a deferral. Pendings beyond the watermark are left in
-        place — mid-run that just means their merge hasn't happened yet."""
-        marker = self._marker()
+        place — mid-run that just means their merge hasn't happened yet.
+        Requeue pendings (rare, version-markered) fold individually."""
+        applied = int(self.target.properties().get("max_applied_lsn", 0))
+        version = self.target.current_version()
         ready = []
+        folded = 0
         for pend, meta in self._pending():
-            if meta is None or not self._merge_committed(meta):
+            if meta is None or not self._merge_committed(meta, applied, version):
                 continue
-            if (int(meta["batch_id"]), int(meta["chunk"])) <= marker:
+            if self._already_folded(meta):
                 shutil.rmtree(pend, ignore_errors=True)  # fold committed, delete died
+            elif meta.get("requires_version") is not None:
+                self.fold(pend)
+                folded += 1
             else:
                 ready.append((pend, meta))
         if not ready:
-            return 0
+            return folded
         if len(ready) == 1:
             self.fold(ready[0][0])
-            return 1
+            return folded + 1
         d = (
             self.spark.read.parquet(*[os.path.join(p, "data") for p, _ in ready])
             .groupBy("token")
@@ -165,7 +197,7 @@ class TokenVocab:
         )
         for pend, _ in ready:
             shutil.rmtree(pend, ignore_errors=True)
-        return len(ready)
+        return folded + len(ready)
 
     def maybe_fold(self) -> None:
         """Post-merge hook: fold once the outbox reaches ``fold_every``."""
@@ -176,12 +208,14 @@ class TokenVocab:
     def recover(self) -> None:
         """Apply or discard pending deltas left by a crash (see module
         docstring for the three-way decision)."""
+        applied = int(self.target.properties().get("max_applied_lsn", 0))
+        version = self.target.current_version()
         for pend, meta in self._pending():
             if meta is None:
                 # crash mid-stage (meta is written last): never folded,
                 # never committed against — redelivery re-stages it
                 shutil.rmtree(pend, ignore_errors=True)
-            elif self._merge_committed(meta):
+            elif self._merge_committed(meta, applied, version):
                 self.fold(pend)
             else:
                 # merge never committed: the chunk will be redelivered
@@ -284,7 +318,15 @@ class TokenVocab:
             .agg(F.sum("d_occ").alias("d_occ"), F.sum("d_docs").alias("d_docs"))
             .filter((F.col("d_occ") != 0) | (F.col("d_docs") != 0))
         )
-        pend = os.path.join(self.pending_dir, f"b{batch_id:010d}_c{chunk:012d}")
+        # requeue pendings get their own namespace: their synthetic chunk
+        # ids must never be confusable with (or sort against) the stream's
+        # lsn-keyed b*_c* dirs
+        if requires_version is not None:
+            pend = os.path.join(self.pending_dir, f"rq{int(requires_version):012d}")
+        else:
+            pend = os.path.join(
+                self.pending_dir, f"b{batch_id:010d}_c{chunk:012d}"
+            )
         data_dir = os.path.join(pend, "data")
         from pyspark.sql import Observation
 
@@ -329,13 +371,22 @@ class TokenVocab:
 
     def fold(self, pend: str) -> None:
         """Fold one staged delta into the vocab table (idempotent: a
-        pending dir at or below the folded marker is dropped unapplied)."""
+        pending dir at or below its marker — the stream (batch, chunk)
+        marker, or ``folded_requeue_version`` for requeue pendings — is
+        dropped unapplied)."""
         with open(os.path.join(pend, "meta.json")) as f:
             meta = json.load(f)
-        mark = (int(meta["batch_id"]), int(meta["chunk"]))
-        if mark <= self._marker():
+        if self._already_folded(meta):
             shutil.rmtree(pend, ignore_errors=True)
             return
+        rv = meta.get("requires_version")
+        if rv is not None:
+            props = {"folded_requeue_version": int(rv)}
+        else:
+            props = {
+                "folded_batch": int(meta["batch_id"]),
+                "folded_chunk": int(meta["chunk"]),
+            }
         d = self.spark.read.parquet(os.path.join(pend, "data"))
         resolve = self._resolve
 
@@ -347,7 +398,7 @@ class TokenVocab:
         self.table.merge(
             d,
             resolve,
-            properties_update={"folded_batch": mark[0], "folded_chunk": mark[1]},
+            properties_update=props,
             delta_rows=int(meta.get("n_rows", 0)),
             affected_buckets=list(range(self.table.snapshot()["n_buckets"])),
             mode="cow",

@@ -204,17 +204,7 @@ class CdcEngine:
         # swept; the data path's correctness never depends on staging.
         # Safe here: ingest is single-writer and this engine has not
         # started its own staging yet.
-        # requeue_quarantine archive-swap recovery: a crash between the
-        # two renames leaves only `.old` (original content, rescued rows
-        # included) — restore it; the already-merged rescues simply
-        # no-op on the LSN guard when requeued again. `.old` next to a
-        # live archive means the swap completed — drop the leftover.
-        _old = self.quarantine_archive_path + ".old"
-        if os.path.isdir(_old):
-            if not os.path.isdir(self.quarantine_archive_path):
-                os.rename(_old, self.quarantine_archive_path)
-            else:
-                shutil.rmtree(_old, ignore_errors=True)
+        self._recover_archive_swap()
         stg = os.path.join(self.table_path, "_staging")
         if os.path.isdir(stg):
             for d in sorted(os.listdir(stg)):
@@ -253,6 +243,22 @@ class CdcEngine:
 
     def applied_lsn(self) -> int:
         return int(self.table.properties().get("max_applied_lsn", 0))
+
+    def _recover_archive_swap(self) -> None:
+        """requeue_quarantine archive-swap recovery: a crash between the
+        two renames leaves only `.old` (original content, rescued rows
+        included) — restore it; the already-merged rescues simply no-op
+        on the LSN guard when requeued again. `.old` next to a live
+        archive means the swap completed — drop the leftover. Called from
+        init() AND at the top of requeue_quarantine itself, so a re-run
+        through an entrypoint that skipped init() can never see (or
+        clobber) a half-swapped archive."""
+        old = self.quarantine_archive_path + ".old"
+        if os.path.isdir(old):
+            if not os.path.isdir(self.quarantine_archive_path):
+                os.rename(old, self.quarantine_archive_path)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
 
     # ---------- snapshot bootstrap (initial load, then tail) ----------
 
@@ -659,12 +665,36 @@ class CdcEngine:
 
         Ops contract: run with the ingester stopped (like ``rebucket``) —
         the archive swap and the requires_version reasoning both assume
-        this process is the single writer.
+        this process is the single writer. A table whose vocab aggregate
+        is maintained must requeue through a vocab-aware engine
+        (guarded). Events below the ``tombstones_expired_below_lsn``
+        fence (recorded by jobs/maintain.py --expire-tombstones) are
+        never rescued: the tombstones that would veto them are gone, so
+        applying them could resurrect deleted docs — they stay
+        quarantined instead.
 
         Returns {"examined", "rescued", "merged"} counts.
         """
+        # a table whose vocab aggregate is maintained on disk MUST requeue
+        # through a vocab-aware engine, or the rescue merge would commit
+        # token changes the aggregate never sees (permanent drift)
+        if self._vocab is None and os.path.isdir(
+            os.path.join(self.table_path, "vocab", "_meta")
+        ):
+            raise ValueError(
+                "this table maintains a token-vocabulary aggregate; "
+                "construct CdcEngine(maintain_vocab=True) before requeueing"
+            )
+        self._recover_archive_swap()
         wl = list(whitelist) if whitelist is not None else list(self.whitelist)
         q = self.quarantine()
+        # tombstone-expiry fence: expiry physically dropped tombstones
+        # below this LSN, so a rescue below it could resurrect a deleted
+        # doc (the information needed to refuse it is gone). Such events
+        # stay quarantined.
+        fence = int(
+            self.table.properties().get("tombstones_expired_below_lsn", 0)
+        )
         expr_r = validation_reason_expr(
             F.col("op"), F.col("tokens"), F.col("n_tok"), F.col("source"), wl
         )
@@ -674,7 +704,7 @@ class CdcEngine:
         # a lazy plan over them would recompute against moved files
         rescued_stage = os.path.join(self.table_path, "_staging", "requeue_rescued")
         obs_r = Observation("requeue-rescued")
-        q.filter(expr_r.isNull()).select(
+        q.filter(expr_r.isNull() & (F.col("lsn") >= F.lit(fence))).select(
             "doc_id", "lsn", "op", "tokens", "n_tok", "source"
         ).observe(obs_r, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
@@ -703,13 +733,19 @@ class CdcEngine:
 
         stage_future = None
         if self._vocab is not None:
+            # requeue pendings live on their own marker axis
+            # (folded_requeue_version, keyed by the version this merge
+            # will create) — they must NOT borrow the stream's
+            # (batch, chunk) order: a synthetic chunk id above the
+            # watermark would advance the stream marker past a later
+            # REDELIVERED chunk of the same batch (whose lsn-keyed id is
+            # smaller), silently dropping that chunk's vocab delta.
+            # batch_id/chunk here are informational only.
             rv = self.table.current_version() + 1
             stage_future = self._pool.submit(
                 self._vocab.stage_delta,
                 int(self.table.properties().get("last_batch_id", -1)),
-                self.applied_lsn() + 1 + rv,  # monotone chunk key (> any
-                # stream chunk's lsn-keyed id for this batch, and strictly
-                # increasing across consecutive requeues via the version)
+                0,
                 delta,
                 affected,
                 self.applied_lsn(),

@@ -1491,6 +1491,7 @@ class LakeTable:
         expire_tombstones_below_lsn: int | None = None,
         tombstone_column: str = "deleted",
         lsn_column: str = "last_lsn",
+        properties_update: dict | None = None,
     ) -> None:
         """Rewrite all buckets under the current schema version; optionally
         drop tombstones whose last_lsn is below the global applied watermark
@@ -1518,4 +1519,4 @@ class LakeTable:
                 (~F.col(tombstone_column))
                 | (F.col(lsn_column) >= F.lit(expire_tombstones_below_lsn))
             )
-        self.overwrite(df, expected_version=v)
+        self.overwrite(df, expected_version=v, properties_update=properties_update)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators import tokenize
 from .queries import load
 
 SAMPLE_SALT = "stratified-v1"
@@ -25,15 +26,12 @@ _POSTINGS_CAP = 8
 
 
 def _sample_bucket_sql(key: str, salt: str) -> str:
-    """0..999999 bucket from 6 md5 hex digits of (salt ':' key) — the
-    engine-portable hash-decision expression (see tokenize.hex_mod_sql)."""
-    h = f"md5(concat('{salt}', ':', cast({key} as string)))"
-    digits = [
-        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
-        for i in range(6)
-    ]
-    poly = " + ".join(f"{d} * {16 ** (5 - i)}" for i, d in enumerate(digits))
-    return f"(({poly}) % 1000000)"
+    """0..999999 bucket from 6 md5 hex digits of (salt ':' key) — built
+    from the SAME portable-hash helper the shard/split operators use
+    (one place to fix the expression subset, zero drift)."""
+    return tokenize.hex_mod_sql(
+        f"md5(concat('{salt}', ':', cast({key} as string)))", 6, 1_000_000
+    )
 
 
 def q_tokens_stratified_sample(spark, sf_dir):
@@ -48,9 +46,12 @@ def q_tokens_stratified_sample(spark, sf_dir):
     is a map-only pass that fuses into whatever reads the sample."""
     docs = load(spark, sf_dir, "documents")
     # integer DIV, not double division + floor: boundary ppm values must
-    # not depend on float rounding (same rule as the range-join buckets)
+    # not depend on float rounding (same rule as the range-join buckets).
+    # try_cast, not cast: an out-of-pattern source (no trailing digits)
+    # must yield NULL → row dropped in BOTH engines, where a plain CAST
+    # is a silent NULL in Spark but a hard error in DuckDB.
     rate_ppm = F.expr(
-        "1000000 DIV (cast(regexp_extract(source, '([0-9]+)$', 1) as int) + 1)"
+        "1000000 DIV (try_cast(regexp_extract(source, '([0-9]+)$', 1) as int) + 1)"
     ).cast("long")
     bucket = F.expr(_sample_bucket_sql("doc_id", SAMPLE_SALT)).cast("long")
     return (
@@ -68,7 +69,7 @@ SQL_STRATIFIED = f"""
 SELECT doc_id, source, rate_ppm, bucket
 FROM (
   SELECT doc_id, source,
-         1000000 // (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) + 1)
+         1000000 // (TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) + 1)
            AS rate_ppm,
          CAST({_sample_bucket_sql('doc_id', SAMPLE_SALT)} AS BIGINT) AS bucket
   FROM documents

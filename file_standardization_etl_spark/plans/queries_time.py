@@ -79,21 +79,27 @@ def q_join_asof(spark, sf_dir):
     points = base.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts_us"
     )
+    # the quote rides as ONE struct (null only on point rows): taking
+    # last(value) and last(ts) as separate IGNORE NULLS windows would tear
+    # the pair apart when the latest purchase has a NULL value — the value
+    # would come from an older quote than the timestamp
     merged = points.select(
         "user_id",
         "event_id",
         "ts_us",
         F.lit(1).alias("is_point"),
-        F.lit(None).cast("double").alias("q_value"),
-        F.lit(None).cast("long").alias("q_ts_us"),
+        F.lit(None)
+        .cast("struct<q_ts_us:bigint,q_value:double>")
+        .alias("quote"),
     ).unionByName(
         quotes.select(
             "user_id",
             F.lit(None).cast("long").alias("event_id"),
             "ts_us",
             F.lit(0).alias("is_point"),
-            "q_value",
-            F.col("ts_us").alias("q_ts_us"),
+            F.struct(
+                F.col("ts_us").alias("q_ts_us"), F.col("q_value").alias("q_value")
+            ).alias("quote"),
         )
     )
     w = (
@@ -102,10 +108,15 @@ def q_join_asof(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        merged.withColumn("asof_value", F.last("q_value", ignorenulls=True).over(w))
-        .withColumn("asof_ts_us", F.last("q_ts_us", ignorenulls=True).over(w))
+        merged.withColumn("asof", F.last("quote", ignorenulls=True).over(w))
         .filter(F.col("is_point") == 1)
-        .select("user_id", "event_id", "ts_us", "asof_ts_us", "asof_value")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.col("asof.q_ts_us").alias("asof_ts_us"),
+            F.col("asof.q_value").alias("asof_value"),
+        )
     )
 
 

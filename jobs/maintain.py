@@ -61,9 +61,16 @@ def main():
     from file_standardization_etl_spark.session import get_spark
 
     spark = get_spark(app_name="cdc-maintain")
-    engine = CdcEngine(spark, args.table_dir)
+    # vocab-aware when the table maintains the aggregate on disk —
+    # requeue through a vocab-blind engine would silently desync it
+    # (requeue_quarantine also guards against this)
+    maintain_vocab = os.path.isdir(os.path.join(args.table_dir, "vocab", "_meta"))
+    engine = CdcEngine(spark, args.table_dir, maintain_vocab=maintain_vocab)
     if not engine.table.exists():
         raise SystemExit(f"no table at {args.table_dir}")
+    # run the engine's crash recovery (staged quarantine, archive swap,
+    # vocab outbox) before any maintenance op reads those trees
+    engine.init()
 
     report: dict = {"table": args.table_dir, "version_before": engine.table.current_version()}
     if args.rebucket:
@@ -80,6 +87,11 @@ def main():
             expire_tombstones_below_lsn=wm,
             tombstone_column=names.get(FID_DELETED, "deleted"),
             lsn_column=names.get(FID_LSN, "last_lsn"),
+            # record the expiry fence: requeue_quarantine refuses to
+            # rescue events below it (their vetoing tombstones are gone)
+            properties_update=(
+                {"tombstones_expired_below_lsn": wm} if wm is not None else None
+            ),
         )
         report["compacted"] = True
         report["tombstones_expired_below"] = wm

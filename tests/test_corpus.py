@@ -42,6 +42,16 @@ def test_stratified_sample_rates_and_subset_stability(spark, tmp_path):
     assert kept_half == {d for d in kept if d < 200}
 
 
+def test_stratified_sample_drops_out_of_pattern_sources(spark, tmp_path):
+    """A source with no trailing digits has no defined rate: the row is
+    dropped (NULL rate) rather than crashing — and try_cast keeps DuckDB
+    on the same behavior (a plain CAST('' AS INT) would error there)."""
+    rows = [(1, "w", "en", "web", 1), (2, "w", "en", "src0", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    kept = {r["doc_id"] for r in q_tokens_stratified_sample(spark, sf).collect()}
+    assert kept == {2}
+
+
 def test_inverted_index_caps_postings_but_counts_full_df(spark, tmp_path):
     # 'hot' appears in 20 docs (twice in each -> pairs are distinct),
     # 'rare' in one

@@ -153,6 +153,73 @@ def test_requeue_vocab_pending_from_uncommitted_merge_is_discarded(
     assert maintained(fresh) == recompute(fresh)
 
 
+def test_requeue_fenced_below_tombstone_expiry(spark, tmp_path):
+    """After tombstone expiry, a rescue below the expiry fence could
+    resurrect a deleted doc (its vetoing tombstone is gone) — it must
+    stay quarantined instead."""
+    eng = make_engine(spark, tmp_path)
+    base = {"n_tok": 2, "schema_change": None, "ts": None}
+    events = [
+        {"lsn": 1, "op": "insert", "doc_id": "d1", "source": "nope",
+         "tokens": [1, 2], **base},
+        {"lsn": 2, "op": "delete", "doc_id": "d1", "source": None,
+         "tokens": None, "n_tok": None, "schema_change": None, "ts": None},
+        {"lsn": 3, "op": "insert", "doc_id": "d2", "source": "web",
+         "tokens": [3, 4], **base},
+    ]
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    # expire tombstones below the watermark, recording the fence —
+    # exactly what jobs/maintain.py --compact --expire-tombstones does
+    wm = eng.applied_lsn() + 1
+    eng.table.compact(
+        expire_tombstones_below_lsn=wm,
+        properties_update={"tombstones_expired_below_lsn": wm},
+    )
+    assert eng.state(include_deleted=True).filter("doc_id = 'd1'").count() == 0
+    m = eng.requeue_quarantine(["web", "nope"])
+    assert m["rescued"] == 0  # fenced, not rescued
+    assert "d1" not in state_dict(eng)  # the deleted doc stays dead
+    # the event is still quarantined for a future decision
+    assert eng.quarantine().filter("lsn = 1").count() == 1
+
+
+def test_requeue_vocab_uses_own_marker_axis(spark, tmp_path):
+    """A requeue fold must not advance the stream (batch, chunk) marker —
+    that would make a later redelivered same-batch chunk's vocab pending
+    look already-folded and silently drop it."""
+    from tests.test_vocab import maintained, recompute
+
+    cfg = EventGenConfig(n_events=1200, n_docs=150, seed=79, bad_source_frac=0.1)
+    events = generate_events(cfg)
+    eng = make_engine(spark, tmp_path, maintain_vocab=True)
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    props_before = dict(eng.table.properties())
+    vprops_before = dict(eng._vocab.table.properties())
+    m = eng.requeue_quarantine(WIDE)
+    assert m["rescued"] > 0
+    vprops = eng._vocab.table.properties()
+    assert (
+        vprops.get("folded_batch"),
+        vprops.get("folded_chunk"),
+    ) == (vprops_before.get("folded_batch"), vprops_before.get("folded_chunk"))
+    assert int(vprops["folded_requeue_version"]) > 0
+    assert eng.applied_lsn() == int(props_before["max_applied_lsn"])
+    assert maintained(eng) == recompute(eng)
+
+
+def test_requeue_requires_vocab_aware_engine(spark, tmp_path):
+    cfg = EventGenConfig(n_events=600, n_docs=100, seed=83, bad_source_frac=0.1)
+    events = generate_events(cfg)
+    eng = make_engine(spark, tmp_path, maintain_vocab=True)
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    blind = CdcEngine(spark, str(tmp_path / "cdc"))  # no maintain_vocab
+    blind.init()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab"):
+        blind.requeue_quarantine(WIDE)
+
+
 def test_init_recovers_interrupted_archive_swap(spark, tmp_path):
     eng = make_engine(spark, tmp_path)
     events = generate_events(EventGenConfig(n_events=500, n_docs=80, seed=77))

@@ -67,6 +67,24 @@ def test_asof_includes_equal_ts_and_nulls_before_first_quote(spark, tmp_path):
     assert out[7] == (None, None)
 
 
+def test_asof_null_valued_latest_quote_wins_atomically(spark, tmp_path):
+    """The (ts, value) pair must come from ONE quote: a latest purchase
+    with NULL value is still the as-of match (value NULL), never a
+    frankenstein of the new timestamp with an older quote's value."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, 1000, 7, "purchase", 5.0),
+            (2, 2000, 7, "purchase", None),   # latest, NULL value
+            (3, 3000, 7, "click", 0.0),
+        ],
+    )
+    row = q_join_asof(spark, sf).collect()[0]
+    assert row["asof_ts_us"] == EPOCH_US + 2000
+    assert row["asof_value"] is None
+
+
 def test_range_join_half_open_and_bucket_crossing(spark, tmp_path):
     lo = HALF_HOUR_US - 1000  # interval starts just before a bucket boundary
     sf = _write_events(

@@ -220,6 +220,123 @@ def test_requeue_requires_vocab_aware_engine(spark, tmp_path):
         blind.requeue_quarantine(WIDE)
 
 
+def test_fuzz_lifecycle_bootstrap_crash_requeue(spark, tmp_path, monkeypatch):
+    """Whole-lifecycle fuzz (2 seeded cases): snapshot bootstrap at a
+    random LSN, crash-injected tail with redelivery, one or two
+    mid-stream requeues with a widened whitelist, DDL interleaved —
+    final state, quarantine, and the vocab aggregate must equal the dict
+    oracle extended with the requeue rule."""
+    import random as _random
+
+    from file_standardization_etl_spark.cdc.oracle import (
+        OracleState,
+        validation_reason,
+    )
+    from tests.test_bootstrap import snapshot_df
+    from tests.test_vocab import maintained, recompute
+
+    orig = CdcEngine._merge_chunk
+    for case in range(2):
+        rng = _random.Random(4200 + case)
+        n_events = 1600
+        ddl = (
+            {"action": "rename_column", "name": "source", "new_name": "origin"},
+        )
+        cfg = EventGenConfig(
+            n_events=n_events, n_docs=120, seed=4300 + case,
+            bad_source_frac=0.12, disorder_window=40,
+            schema_change_lsns=(1200,) if case else (),
+            schema_changes=ddl if case else (),
+        )
+        events = generate_events(cfg)
+        L = rng.choice([400, 600])
+        pre = [e for e in events if e["lsn"] <= L]
+        post = [e for e in events if e["lsn"] > L]
+
+        wd = str(tmp_path / f"case{case}")
+        eng = CdcEngine(spark, wd, maintain_vocab=True)
+        eng.init()
+        o_pre = replay(pre)
+        eng.bootstrap(snapshot_df(spark, o_pre), as_of_lsn=L)
+
+        # oracle state continues from the snapshot: live docs only (the
+        # quarantined/tombstoned prefix is NOT carried — exactly what a
+        # consistent source snapshot contains)
+        st = OracleState(
+            docs={k: dict(v) for k, v in o_pre.live_docs().items()},
+            max_applied_lsn=L,
+        )
+
+        def oracle_requeue(wl):
+            rescued = [
+                q for q in st.quarantine if validation_reason(q, tuple(wl)) is None
+            ]
+            for ev in sorted(rescued, key=lambda e: e["lsn"]):
+                doc = st.docs.get(ev["doc_id"])
+                if doc is not None and ev["lsn"] <= doc["last_lsn"]:
+                    continue
+                st.docs[ev["doc_id"]] = {
+                    "tokens": ev["tokens"], "n_tok": ev["n_tok"],
+                    "source": ev["source"], "last_lsn": ev["lsn"],
+                    "deleted": False,
+                }
+            st.quarantine = [q for q in st.quarantine if q not in rescued]
+            return len(rescued)
+
+        cuts = sorted(rng.sample(range(L + 100, n_events - 50), 2))
+        batches = [
+            [e for e in post if lo < e["lsn"] <= hi]
+            for lo, hi in zip([L] + cuts, cuts + [n_events])
+        ]
+        countdown = {"n": rng.randint(1, 2)}
+
+        def crashing(self, *a, **kw):
+            countdown["n"] -= 1
+            if countdown["n"] == 0:
+                raise RuntimeError("injected crash")
+            return orig(self, *a, **kw)
+
+        armed = True
+        for i, b in enumerate(batches, start=1):
+            if armed and rng.random() < 0.8:
+                monkeypatch.setattr(CdcEngine, "_merge_chunk", crashing)
+                try:
+                    eng.apply_batch(events_df(spark, b), batch_id=i)
+                except RuntimeError:
+                    monkeypatch.setattr(CdcEngine, "_merge_chunk", orig)
+                    eng = CdcEngine(spark, wd, maintain_vocab=True)
+                    eng.init()
+                    eng.apply_batch(events_df(spark, b), batch_id=i)
+                finally:
+                    monkeypatch.setattr(CdcEngine, "_merge_chunk", orig)
+                armed = False
+            else:
+                eng.apply_batch(events_df(spark, b), batch_id=i)
+            replay(b, st)
+            if rng.random() < 0.6:
+                got = eng.requeue_quarantine(WIDE)
+                want = oracle_requeue(WIDE)
+                assert got["rescued"] == want
+            if rng.random() < 0.4:  # redeliver an old batch: must no-op
+                j = rng.randint(0, i - 1)
+                eng.apply_batch(events_df(spark, batches[j]), batch_id=j + 1)
+
+        got = {
+            r[0]: (list(r[1]), r[2], r[3], r[4])
+            for r in eng.state().select(
+                eng._names()[1], eng._names()[2], eng._names()[3],
+                eng._names()[4], eng._names()[5],
+            ).collect()
+        }
+        want = {
+            k: (list(v["tokens"]), v["n_tok"], v["source"], v["last_lsn"])
+            for k, v in st.docs.items() if not v["deleted"]
+        }
+        assert got == want
+        assert eng.quarantine().count() == len(st.quarantine)
+        assert maintained(eng) == recompute(eng)
+
+
 def test_init_recovers_interrupted_archive_swap(spark, tmp_path):
     eng = make_engine(spark, tmp_path)
     events = generate_events(EventGenConfig(n_events=500, n_docs=80, seed=77))

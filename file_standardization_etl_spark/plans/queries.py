@@ -404,6 +404,7 @@ from .queries_tokens import TOKEN_QUERIES  # noqa: E402
 from .queries_pq import PQ_QUERIES  # noqa: E402
 from .queries_time import TIME_QUERIES  # noqa: E402
 from .queries_corpus import CORPUS_QUERIES  # noqa: E402
+from .queries_profile import PROFILE_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EXT2_QUERIES)
@@ -413,3 +414,4 @@ QUERIES.update(TOKEN_QUERIES)
 QUERIES.update(PQ_QUERIES)
 QUERIES.update(TIME_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
+QUERIES.update(PROFILE_QUERIES)

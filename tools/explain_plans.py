@@ -89,6 +89,12 @@ AUDIT = {
     "tokens_stratified_sample": ["Filter"],
     "text_inverted_index": ["Window", "HashAggregate"],
     "agg_percentiles": ["Window", "Generate"],
+    # profiling tranche: top-N is one window rank; the histogram is a
+    # pure map-side-combined hash agg; bigram top-k must TakeOrdered,
+    # never globally sort
+    "window_topn_per_key": ["Window"],
+    "agg_histogram": ["HashAggregate", "Exchange"],
+    "text_bigrams": ["TakeOrderedAndProject", "HashAggregate"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -135,6 +141,9 @@ PER_QUERY_FORBIDDEN = {
     "tokens_stratified_sample": ["Exchange"],
     "text_inverted_index": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "agg_percentiles": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "window_topn_per_key": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "agg_histogram": ["SortAggregate", "CartesianProduct"],
+    "text_bigrams": ["Sort ", "CartesianProduct"],
 }
 
 

@@ -155,6 +155,47 @@ def test_bootstrap_then_ddl_tail(spark, tmp_path):
     assert got == want
 
 
+def test_run_cdc_cli_bootstrap_then_tail(spark, tmp_path, monkeypatch, capsys):
+    """jobs/run_cdc.py --bootstrap-snapshot: cold start from a snapshot,
+    tail the WAL above its LSN, and a restart with the same flags must
+    skip the (now non-fresh) bootstrap and just tail."""
+    import jobs.run_cdc as run_cdc
+    from file_standardization_etl_spark.cdc.events import events_df as _ev_df
+
+    cfg = EventGenConfig(n_events=1500, n_docs=200, seed=97, disorder_window=30)
+    events = generate_events(cfg)
+    L = 900
+    pre = [e for e in events if e["lsn"] <= L]
+    post = [e for e in events if e["lsn"] > L]
+    snap_dir = str(tmp_path / "snap")
+    snapshot_df(spark, replay(pre)).write.parquet(snap_dir)
+    log_dir = str(tmp_path / "wal")
+    _ev_df(spark, post).write.parquet(log_dir)
+
+    argv = [
+        "run_cdc.py",
+        "--log-dir", log_dir,
+        "--table-dir", str(tmp_path / "lake"),
+        "--n-buckets", "8",
+        "--bootstrap-snapshot", snap_dir,
+        "--bootstrap-lsn", str(L),
+    ]
+    monkeypatch.setattr("sys.argv", argv)
+    run_cdc.main()
+    out1 = capsys.readouterr().out
+    assert '"bootstrap"' in out1
+
+    eng = CdcEngine(spark, str(tmp_path / "lake"))
+    eng.init()
+    assert_state_matches(eng, replay(events))
+
+    # restart with identical flags: bootstrap skipped, state unchanged
+    run_cdc.main()
+    out2 = capsys.readouterr().out
+    assert '"bootstrap"' not in out2
+    assert_state_matches(eng, replay(events))
+
+
 def test_bootstrap_maintains_vocab(spark, tmp_path):
     from tests.test_vocab import maintained, recompute
 

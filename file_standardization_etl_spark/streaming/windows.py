@@ -211,3 +211,88 @@ def run_stateful_totals(
             "drain did not finish within the timeout — the sink holds only a "
             "prefix; re-run to continue from the checkpoint"
         )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: early-life updates matched to their insert
+# ---------------------------------------------------------------------------
+
+
+def early_update_join(
+    inserts: DataFrame,
+    updates: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each update event matched
+    to the insert of the same doc that it follows within ``horizon`` of
+    event time — the "early-life churn" audit a training-data pipeline
+    runs on its own ingest stream.
+
+    Both sides carry a watermark AND the join condition bounds u_time to
+    a finite interval after i_time — the two things Structured Streaming
+    needs to evict join state (an insert is dropped from state once the
+    update-side watermark passes i_time + horizon; state is O(events in
+    the horizon), not O(stream)). Inner join in append mode emits each
+    match exactly once as it forms. The same definition runs on batch
+    frames (watermarks are no-ops), so the batch run IS the oracle."""
+    i = (
+        inserts.select(
+            F.col("doc_id").alias("i_doc"),
+            event_time(F.col("lsn")).alias("i_time"),
+            F.col("lsn").alias("i_lsn"),
+        )
+        .withWatermark("i_time", watermark)
+    )
+    u = (
+        updates.select(
+            F.col("doc_id").alias("u_doc"),
+            event_time(F.col("lsn")).alias("u_time"),
+            F.col("lsn").alias("u_lsn"),
+        )
+        .withWatermark("u_time", watermark)
+    )
+    return i.join(
+        u,
+        (F.col("i_doc") == F.col("u_doc"))
+        & (F.col("u_time") > F.col("i_time"))
+        & (F.col("u_time") <= F.col("i_time") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(F.col("i_doc").alias("doc_id"), "i_lsn", "u_lsn")
+
+
+def run_early_update_join(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    horizon: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> None:
+    """Drain the WAL once (AvailableNow) through the stream-stream join
+    into a parquet sink. Checkpoint recovery makes successive drains of a
+    growing WAL append each newly-formed pair exactly once."""
+    ev = _stream(spark, log_dir)
+    q = (
+        early_update_join(
+            ev.filter(F.col("op") == "insert"),
+            ev.filter(F.col("op") == "update"),
+            horizon,
+            watermark,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "drain did not finish within the timeout — the sink holds only a "
+            "prefix; re-run to continue from the checkpoint"
+        )

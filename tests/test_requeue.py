@@ -220,6 +220,40 @@ def test_requeue_requires_vocab_aware_engine(spark, tmp_path):
         blind.requeue_quarantine(WIDE)
 
 
+def test_requeue_after_key_rename_and_rebucket(spark, tmp_path):
+    """Requeue must keep working when the table has drifted from its
+    wire-format shape: key column renamed by DDL (delta binds by the
+    snapshot key name) and bucket layout migrated (affected buckets
+    computed against the CURRENT n_buckets, not the one the rows were
+    quarantined under)."""
+    cfg = EventGenConfig(
+        n_events=1200, n_docs=150, seed=89, bad_source_frac=0.12,
+        schema_change_lsns=(600,),
+        schema_changes=(
+            {"action": "rename_column", "name": "doc_id", "new_name": "document"},
+        ),
+    )
+    events = generate_events(cfg)
+    eng = make_engine(spark, tmp_path)
+    eng.apply_batch(events_df(spark, events), batch_id=0)
+    eng.table.rebucket(7)  # grow/shrink after quarantining
+    m = eng.requeue_quarantine(WIDE)
+    st, rescued, remaining = oracle_after_requeue(events, WIDE)
+    assert m["rescued"] == len(rescued) > 0
+    key = eng._names()[1]
+    assert key == "document"
+    got = {
+        r[key]: (list(r["tokens"]), r["n_tok"], r["source"], r["last_lsn"])
+        for r in eng.state().collect()
+    }
+    want = {
+        k: (list(v["tokens"]), v["n_tok"], v["source"], v["last_lsn"])
+        for k, v in st.docs.items() if not v["deleted"]
+    }
+    assert got == want
+    assert eng.quarantine().count() == len(remaining)
+
+
 def test_fuzz_lifecycle_bootstrap_crash_requeue(spark, tmp_path, monkeypatch):
     """Whole-lifecycle fuzz (2 seeded cases): snapshot bootstrap at a
     random LSN, crash-injected tail with redelivery, one or two

@@ -140,6 +140,86 @@ def run_cdc_replay(
     }
 
 
+def run_bootstrap(
+    spark, n_docs: int = 500_000, versions: int = 3, repeats: int = 2
+) -> dict:
+    """Cold-start cost: seed a fresh table from an n_docs consistent
+    snapshot via CdcEngine.bootstrap vs replaying the WAL HISTORY that
+    produced it (``versions`` events per doc, last writer wins) through
+    apply_batch. This is the structural choice bootstrap exists for: a
+    long-lived stream's history is a multiple of its net state (10^10
+    events netting to ~10^8 docs in the north rule), and bootstrap's
+    cost is O(state) where replay's is O(history). Same payload
+    expressions, same parquet sourcing, same JVM."""
+    from pyspark.sql import functions as F
+
+    from file_standardization_etl_spark.cdc.apply import CdcEngine
+
+    work = tempfile.mkdtemp(prefix="bench_boot_")
+
+    def payload(version_col):
+        return F.expr(
+            "transform(sequence(1, 64), "
+            f"i -> cast(pmod(id * 2654435761 + {version_col} * 31 + i, 50257) as int))"
+        )
+
+    # WAL history: versions events per doc (lsn = id + 1 + v*n_docs), the
+    # final version's payload equals the snapshot row
+    ev_dir = os.path.join(work, "wal")
+    (
+        spark.range(n_docs)
+        .select("id", F.explode(F.expr(f"sequence(0, {versions - 1})")).alias("v"))
+        .select(
+            (F.col("id") + 1 + F.col("v") * n_docs).alias("lsn"),
+            F.when(F.col("v") == 0, F.lit("insert")).otherwise(F.lit("update")).alias("op"),
+            F.format_string("doc%09d", F.col("id")).alias("doc_id"),
+            payload("v").alias("tokens"),
+            F.lit(64).cast("int").alias("n_tok"),
+            F.lit("web").alias("source"),
+            F.lit(None).cast("string").alias("schema_change"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        .write.parquet(ev_dir)
+    )
+    snap_dir = os.path.join(work, "snap")
+    (
+        spark.range(n_docs)
+        .select(
+            F.format_string("doc%09d", F.col("id")).alias("doc_id"),
+            payload(str(versions - 1)).alias("tokens"),
+            F.lit(64).cast("int").alias("n_tok"),
+            F.lit("web").alias("source"),
+            (F.col("id") + 1 + (versions - 1) * n_docs).alias("lsn"),
+        )
+        .write.parquet(snap_dir)
+    )
+    as_of = versions * n_docs
+    boot_walls, replay_walls = [], []
+    for r in range(repeats):
+        eng = CdcEngine(spark, os.path.join(work, f"boot{r}"), n_buckets=64)
+        eng.init()
+        t0 = time.time()
+        eng.bootstrap(spark.read.parquet(snap_dir), as_of_lsn=as_of)
+        boot_walls.append(round(time.time() - t0, 3))
+        eng2 = CdcEngine(spark, os.path.join(work, f"replay{r}"), n_buckets=64)
+        eng2.init()
+        t0 = time.time()
+        eng2.apply_batch(spark.read.parquet(ev_dir), batch_id=0)
+        replay_walls.append(round(time.time() - t0, 3))
+    shutil.rmtree(work, ignore_errors=True)
+    boot, rep = min(boot_walls), min(replay_walls)
+    return {
+        "n_docs": n_docs,
+        "wal_events": versions * n_docs,
+        "bootstrap_sec": boot,
+        "bootstrap_runs_sec": boot_walls,
+        "bootstrap_docs_per_sec": round(n_docs / boot, 1),
+        "history_replay_sec": rep,
+        "history_replay_runs_sec": replay_walls,
+        "speedup_vs_history_replay": round(rep / max(boot, 1e-9), 2),
+    }
+
+
 def run_cdc_incremental(
     spark,
     n_seed: int = 500_000,
@@ -598,8 +678,10 @@ def main():
     cdc["incremental"] = run_cdc_incremental(spark)
     cdc["vocab_maintenance"] = run_vocab_maintenance(spark)
     cdc["changefeed"] = run_changefeed(spark)
+    cdc["bootstrap"] = run_bootstrap(spark)
     queries = {"cdc_full_replay": cdc["replay_sec"]}
     queries["cdc_incremental_batch"] = cdc["incremental"]["auto"]["sec_per_batch"]
+    queries["cdc_bootstrap"] = cdc["bootstrap"]["bootstrap_sec"]
     queries["vocab_maintain_batch"] = cdc["vocab_maintenance"]["maintain_sec_per_batch"]
     query_runs = {"cdc_full_replay": cdc["replay_runs_sec"]}
     queries.update(cdc.pop("streaming_ops"))

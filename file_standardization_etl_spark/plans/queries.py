@@ -415,3 +415,39 @@ QUERIES.update(PQ_QUERIES)
 QUERIES.update(TIME_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(PROFILE_QUERIES)
+
+# Driver-coverage rotation: the per-round driver CORRECTNESS artifact has
+# covered a PREFIX of this registry (r01-r02: 43 entries, r03: the first
+# 50 of 69), so the entries that have never had a driver ledger row come
+# first. The rotated-back core keeps its gates either way — every entry
+# here also runs under `python tools/check_oracle.py` (the identical
+# rows/schema/value-hash comparison) and the pytest suite.
+_DRIVER_PRIORITY = [
+    # round-3 tranches absent from CORRECTNESS_r03.json
+    "tokens_chunk_windows",
+    "tokens_vocab_topk",
+    "tokens_hash_split",
+    "tokens_contamination",
+    "tokens_clean_train",
+    "tokens_pack_examples",
+    "ann_pq_adc_topk",
+    "dedup_semantic",
+    "corpus_curation_funnel",
+    "join_asof",
+    "join_range_bucketed",
+    "window_sessionize",
+    "agg_time_rollup",
+    "tokens_stratified_sample",
+    "text_inverted_index",
+    "agg_percentiles",
+    "window_topn_per_key",
+    "agg_histogram",
+    "text_bigrams",
+    # round-4 additions (never driver-covered by construction)
+    "agg_percentiles_sketch",
+    "join_stream_interval",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_PRIORITY if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in set(_DRIVER_PRIORITY)},
+}

@@ -233,8 +233,19 @@ class CdcEngine:
                                 mode=mode,
                             )
                             if reasoned.limit(1).count() > 0:
+                                # stage-then-rename, NEVER a direct write to
+                                # qdir: a crash mid-write would leave a
+                                # partial qdir that the next init() sees as
+                                # "already recovered" and then sweeps this
+                                # staging source — truncating the chunk's
+                                # quarantine forever (redelivery is
+                                # LSN-filtered past finalize). The staged
+                                # quar_b{B}_c{C} shape is itself recovered
+                                # by the rename branch above on re-crash.
+                                tmp = os.path.join(stg, f"quar_b{b}_c{c}")
+                                reasoned.write.mode("overwrite").parquet(tmp)
                                 os.makedirs(os.path.dirname(qdir), exist_ok=True)
-                                reasoned.write.mode("overwrite").parquet(qdir)
+                                os.rename(tmp, qdir)
                 shutil.rmtree(path, ignore_errors=True)
         # vocab outbox lives OUTSIDE _staging (the sweep above must never
         # eat a committed-but-unfolded delta); recover() folds or drops it
@@ -321,25 +332,36 @@ class CdcEngine:
             )
             .collect()
         )
-        # narrow integrity agg: doc_id/lsn only, map-side combined
-        stats = snap_wire.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("lsn").alias("lmin"),
-            F.max("lsn").alias("lmax"),
-        ).collect()[0]
-        rows_in = stats["n"] or 0
-        if rows_in and stats["nd"] != rows_in:
-            raise ValueError(
-                f"snapshot is not one row per doc_id ({rows_in} rows, "
-                f"{stats['nd']} keys) — a consistent snapshot cannot "
-                "contain duplicates; dedup upstream (LWW needs an LSN order)"
-            )
-        if rows_in and (stats["lmin"] < 1 or stats["lmax"] > as_of_lsn):
-            raise ValueError(
-                f"per-row lsn range [{stats['lmin']}, {stats['lmax']}] "
-                f"outside [1, as_of_lsn={as_of_lsn}]"
-            )
+        # narrow integrity agg: doc_id/lsn only, map-side combined. Any
+        # error on the validation paths must JOIN the lineage future first
+        # (mirror of the stage_future handling around overwrite below):
+        # raising past a still-running pool job leaves an orphaned
+        # concurrent Spark collect and swallows its own failure.
+        try:
+            stats = snap_wire.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("doc_id").alias("nd"),
+                F.min("lsn").alias("lmin"),
+                F.max("lsn").alias("lmax"),
+            ).collect()[0]
+            rows_in = stats["n"] or 0
+            if rows_in and stats["nd"] != rows_in:
+                raise ValueError(
+                    f"snapshot is not one row per doc_id ({rows_in} rows, "
+                    f"{stats['nd']} keys) — a consistent snapshot cannot "
+                    "contain duplicates; dedup upstream (LWW needs an LSN order)"
+                )
+            if rows_in and (stats["lmin"] < 1 or stats["lmax"] > as_of_lsn):
+                raise ValueError(
+                    f"per-row lsn range [{stats['lmin']}, {stats['lmax']}] "
+                    f"outside [1, as_of_lsn={as_of_lsn}]"
+                )
+        except BaseException:
+            try:
+                lineage_future.result()
+            except Exception:
+                pass
+            raise
 
         expr_r = validation_reason_expr(
             F.col("op"), F.col("tokens"), F.col("n_tok"), F.col("source"),
@@ -703,15 +725,21 @@ class CdcEngine:
         # the source quarantine paths are mutated by the cleanup below and
         # a lazy plan over them would recompute against moved files
         rescued_stage = os.path.join(self.table_path, "_staging", "requeue_rescued")
+        obs_q = Observation("requeue-examined")
         obs_r = Observation("requeue-rescued")
-        q.filter(expr_r.isNull() & (F.col("lsn") >= F.lit(fence))).select(
+        # examined is observed BELOW the rescue filter in the same plan —
+        # one quarantine scan produces both counts (CollectMetrics blocks
+        # predicate pushdown, so the filter cannot shrink what obs_q sees)
+        q.observe(obs_q, F.count(F.lit(1)).alias("n")).filter(
+            expr_r.isNull() & (F.col("lsn") >= F.lit(fence))
+        ).select(
             "doc_id", "lsn", "op", "tokens", "n_tok", "source"
         ).observe(obs_r, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
         ).parquet(rescued_stage)
+        examined = int(obs_q.get.get("n") or 0)
         rescued_n = int(obs_r.get.get("n") or 0)
         if rescued_n == 0:
-            examined = q.count()
             shutil.rmtree(rescued_stage, ignore_errors=True)
             return {"examined": examined, "rescued": 0, "merged": 0}
         rescued = self.spark.read.parquet(rescued_stage)
@@ -807,8 +835,11 @@ class CdcEngine:
             os.rename(tmp, self.quarantine_archive_path)
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(rescued_stage, ignore_errors=True)
+        assert kept + rescued_n == examined or not os.path.isdir(
+            self.quarantine_archive_path
+        )
         return {
-            "examined": kept + rescued_n,
+            "examined": examined,
             "rescued": rescued_n,
             "merged": n_delta,
         }

@@ -548,9 +548,16 @@ class LakeTable:
 
         # --- newest delta row per key (argmax on _seq; (key, _seq) is
         # unique because each MOR commit carries at most one row per key
-        # and commits have distinct versions) ---
+        # and commits have distinct versions). The per-key max frame is
+        # broadcast only under the SAME byte gate as the base join below:
+        # an oversized stack (forced mode="mor", no fold) would otherwise
+        # ship a delta-sized key set to every executor even as the base
+        # join correctly falls back to shuffle. ---
+        total_bytes = sum(rec.get("bytes", 0) for rec in delta_paths.values())
         mx = deltas.groupBy(key).agg(F.max("_seq").alias("_seq"))
-        win = deltas.join(F.broadcast(mx), on=[key, "_seq"], how="left_semi")
+        if total_bytes <= self.MOR_BROADCAST_MAX_BYTES:
+            mx = F.broadcast(mx)
+        win = deltas.join(mx, on=[key, "_seq"], how="left_semi")
         if base is None:
             return win.select(*names)
 
@@ -574,7 +581,6 @@ class LakeTable:
             .alias(c.name)
             for c in cur.columns
         ]
-        total_bytes = sum(rec.get("bytes", 0) for rec in delta_paths.values())
         if total_bytes <= self.MOR_BROADCAST_MAX_BYTES:
             # three-branch broadcast plan: the base side never shuffles
             upserts = base.join(

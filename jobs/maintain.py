@@ -73,6 +73,16 @@ def main():
     engine.init()
 
     report: dict = {"table": args.table_dir, "version_before": engine.table.current_version()}
+    # requeue runs FIRST: --compact --expire-tombstones records a
+    # tombstones_expired_below_lsn fence at applied+1, and every
+    # quarantined event's lsn is <= applied — a requeue ordered after
+    # that expiry would rescue 0 rows with no warning (the fence filter
+    # refuses everything). Requeue-then-expire gives both ops their
+    # intended effect in one invocation.
+    if args.requeue_whitelist:
+        report["requeue"] = engine.requeue_quarantine(
+            [s for s in args.requeue_whitelist.split(",") if s]
+        )
     if args.rebucket:
         engine.table.rebucket(args.rebucket)
         report["rebucketed_to"] = args.rebucket
@@ -97,10 +107,6 @@ def main():
         report["tombstones_expired_below"] = wm
     if args.compact_quarantine:
         report["quarantine_rows_archived"] = engine.compact_quarantine()
-    if args.requeue_whitelist:
-        report["requeue"] = engine.requeue_quarantine(
-            [s for s in args.requeue_whitelist.split(",") if s]
-        )
     if args.expire_snapshots:
         report["gc"] = engine.table.expire_snapshots(
             keep_last=args.expire_snapshots, grace_seconds=args.gc_grace

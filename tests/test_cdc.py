@@ -604,6 +604,54 @@ def test_init_recovers_quarantine_staged_by_crashed_run(spark, tmp_path):
     ).count() == 0
 
 
+def test_init_recovery_crash_mid_recovery_write_loses_nothing(spark, tmp_path):
+    """Crash DURING a previous init()'s own recovery of a b*_c*/route=q
+    leftover: the re-reasoned rows must be staged (quar_b*_c*) and
+    renamed, never written directly to the final qdir — a partial direct
+    write would make the NEXT init treat the chunk as recovered and sweep
+    the staging source, truncating its quarantine forever. Here both
+    artifacts coexist (the original route=q dir and a partial staged
+    quar_ dir) and a fresh init must still recover every row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from file_standardization_etl_spark.functions.validation import (
+        validation_reason_expr,
+    )
+
+    events = generate_events(EventGenConfig(n_events=1500, n_docs=100, seed=77))
+    engine = make_engine(spark, tmp_path)
+    engine.apply_batch(events_df(spark, events[:700]), batch_id=0)
+
+    stg = os.path.join(engine.table_path, "_staging")
+    wire = events_df(spark, events[700:]).drop("schema_change")
+    invalid = wire.filter(
+        validation_reason_expr(
+            F.col("op"), F.col("tokens"), F.col("n_tok"), F.col("source"),
+            engine.whitelist,
+        ).isNotNull()
+    )
+    n_inv = invalid.count()
+    assert n_inv > 0
+    invalid.write.parquet(os.path.join(stg, "b3_c0", "route=q"))
+    # the partial staged output of a recovery that crashed mid-write:
+    # a bare parquet dir with only a _temporary marker and one junk file
+    partial = os.path.join(stg, "quar_b3_c0")
+    os.makedirs(os.path.join(partial, "_temporary"), exist_ok=True)
+    with open(os.path.join(partial, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+
+    fresh = CdcEngine(spark, engine.table_path)
+    fresh.init()
+    got = fresh.quarantine().filter(F.col("batch_id") == 3).count()
+    assert got == n_inv
+    assert not os.listdir(stg)
+    assert fresh.quarantine().filter(
+        (F.col("batch_id") == 3) & F.col("reason").isNull()
+    ).count() == 0
+
+
 def test_crash_between_chunks_redelivery_no_wedge_no_quarantine_loss(
     spark, tmp_path, monkeypatch
 ):

@@ -331,3 +331,30 @@ def test_mor_carry_column_named_like_new_prefix_survives(spark, tmp_path):
     items = [d for e in entries.values() for d in e.get("deltas", [])]
     col_id = t.schema().by_name()["x__n_y"].id
     assert items and all(col_id not in d["column_ids"] for d in items)
+
+
+def test_oversized_stack_read_never_broadcasts(spark, tmp_path, monkeypatch):
+    """Above MOR_BROADCAST_MAX_BYTES the read resolution must not
+    broadcast EITHER frame — the base join (already gated) or the
+    per-key max-_seq winner semi-join (gated in round 4): with forced
+    mode="mor" and no fold, a >256 MB live stack carries a key set far
+    too large to ship to every executor. Auto-broadcast is disabled for
+    the assertion so the plan shows the engine's own hints only."""
+    monkeypatch.setattr(LakeTable, "MOR_BROADCAST_MAX_BYTES", 0)
+    t = make(spark, str(tmp_path / "t"))
+    apply_events(t, spark, BATCHES, "mor")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = t.read()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan, plan
+        # the shuffled fallback resolves to the same state as CoW
+        t_cow = make(spark, str(tmp_path / "cow"))
+        apply_events(t_cow, spark, BATCHES, "cow")
+        got = {
+            r["doc_id"]: (r["v"], r["last_lsn"], r["deleted"]) for r in df.collect()
+        }
+        assert got == state(t_cow)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -181,8 +181,66 @@ WHERE rn = (cnt * p + 99) // 100
 """
 
 
+def q_agg_percentiles_sketch(spark, sf_dir):
+    """Percentiles via a mergeable value-histogram sketch — the scale
+    path past `agg_percentiles`. The exact-rank formulation above sorts
+    every ROW of a language partition under one window; at 10^9
+    docs/lang that single partition sort is the limit. This one
+    aggregates to a (lang, n_chars) → count histogram first — a hash
+    aggregate with map-side combine, the same mergeable-summary shape as
+    a t-digest/GK sketch — and runs the rank scan over DISTINCT values
+    only (cardinality-bounded: n_chars has thousands of distinct values
+    regardless of corpus size). On an integer domain the histogram is a
+    LOSSLESS sketch, so the result is bitwise-equal to the exact query —
+    which is therefore its oracle at any sf (`tests/test_percentiles.py`
+    additionally bounds Spark's percentile_approx GK sketch against it
+    for the continuous-domain case).
+
+    pctl_value = min value whose cumulative count reaches the rank
+    target ceil(p/100 * n): `cum >= target AND cum - c < target` — one
+    row per (lang, p) by construction."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_ord = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        "c",
+        F.sum("c").over(w_ord).alias("cum"),
+        F.sum("c").over(w_all).alias("cnt"),
+    )
+    exploded = cum.select(
+        "*", F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p")
+    )
+    target = F.expr("(cnt * p + 99) DIV 100")
+    return exploded.filter(
+        (F.col("cum") >= target) & (F.col("cum") - F.col("c") < target)
+    ).select(
+        "lang", F.col("p").cast("long").alias("p"),
+        F.col("n_chars").alias("pctl_value"),
+    )
+
+
+SQL_PERCENTILES_SKETCH = """
+WITH hist AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang, n_chars, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS cnt
+  FROM hist
+)
+SELECT lang, CAST(p AS BIGINT) AS p, n_chars AS pctl_value
+FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
+WHERE cum >= (cnt * p + 99) // 100 AND cum - c < (cnt * p + 99) // 100
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "tokens_stratified_sample": (q_tokens_stratified_sample, SQL_STRATIFIED),
     "text_inverted_index": (q_text_inverted_index, SQL_INVERTED),
     "agg_percentiles": (q_agg_percentiles, SQL_PERCENTILES),
+    "agg_percentiles_sketch": (q_agg_percentiles_sketch, SQL_PERCENTILES_SKETCH),
 }

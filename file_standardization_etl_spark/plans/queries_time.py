@@ -333,9 +333,58 @@ GROUP BY ROLLUP (event_type, day_idx, hour_idx)
 """
 
 
+def q_join_stream_interval(spark, sf_dir):
+    """Batch formulation of the stream-stream interval join — the SAME
+    function as the streamed operator (streaming/windows.py
+    ``early_update_join``; watermarks are no-ops on batch frames),
+    applied to the events fixture: each purchase matched to every view
+    of the same user that it follows within the 5-minute horizon. The
+    streamed twin is pytest-gated for exactly-once across drains
+    (test_streaming.py); this entry puts the join's semantics under the
+    driver's DuckDB ledger.
+
+    Scale shape: Catalyst plans the equi-key + bounded-interval
+    condition as a shuffled equi-join on doc_id with the range as a
+    post-join filter (never a BroadcastNestedLoopJoin); streamed, the
+    same bounds are what let Structured Streaming evict state — O(events
+    in the horizon), not O(stream)."""
+    from ..streaming.windows import early_update_join
+
+    ev = load(spark, sf_dir, "events")
+
+    def side(kind):
+        return ev.filter(F.col("event_type") == kind).select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_id").alias("lsn"),
+        )
+
+    return early_update_join(
+        side("view"), side("purchase"), horizon="5 minutes",
+        watermark="2 minutes",
+    )
+
+
+# event_time is an affine map of the LSN (EPOCH0 + lsn seconds), so the
+# interval condition is exactly an LSN-arithmetic condition: 5 minutes =
+# 300 LSN-seconds. Integer arithmetic — no timestamp rounding to disagree
+# on across engines.
+SQL_JOIN_STREAM_INTERVAL = """
+SELECT CAST(i.user_id AS VARCHAR) AS doc_id,
+       i.event_id AS i_lsn,
+       u.event_id AS u_lsn
+FROM events i
+JOIN events u
+  ON i.user_id = u.user_id
+ AND u.event_id > i.event_id
+ AND u.event_id <= i.event_id + 300
+WHERE i.event_type = 'view' AND u.event_type = 'purchase'
+"""
+
+
 TIME_QUERIES: dict[str, tuple] = {
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "join_range_bucketed": (q_join_range_bucketed, SQL_JOIN_RANGE),
     "window_sessionize": (q_window_sessionize, SQL_WINDOW_SESSIONIZE),
     "agg_time_rollup": (q_agg_time_rollup, SQL_AGG_TIME_ROLLUP),
+    "join_stream_interval": (q_join_stream_interval, SQL_JOIN_STREAM_INTERVAL),
 }

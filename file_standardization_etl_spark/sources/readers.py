@@ -202,7 +202,17 @@ def write_wal_segment(df: DataFrame, log_dir: str, coalesce: int | None = None) 
 def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame:
     """Bridge the shared `documents` fixture into the change-event shape
     (FIXTURES.md §6): deterministic md5-based tokenization of `text`, doc_id
-    cast to string, source passed through."""
+    cast to string, source passed through.
+
+    LSNs are assigned partition-parallel: per-partition row counts (one
+    narrow pass) become cumulative offsets, and each partition numbers its
+    own rows under a partition-local window — no global single-partition
+    row_number, so the bridge generates a 10^10-row WAL as fast as the
+    scan itself. LSNs are unique and contiguous from ``lsn_start``; their
+    mapping to docs depends on the input partitioning (fixture contract:
+    any total order is a valid WAL — replay correctness is judged on final
+    state, and both passes plan the same deterministic scan splits).
+    """
     words = F.split("text", " ")
     tokens = F.transform(
         words,
@@ -210,8 +220,26 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
             F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50_257
         ).cast("int"),
     )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in docs.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets, base = [], 0
+    for pid, n in counts:
+        offsets.append((pid, base))
+        base += n
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p, _ in offsets]),
+            F.array(*[F.lit(o) for _, o in offsets]),
+        ),
+        F.spark_partition_id(),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("doc_id")
     return docs.select(
-        (F.lit(lsn_start) + F.row_number().over(Window.orderBy("doc_id")) - 1).alias("lsn"),
+        (F.lit(lsn_start) + off + F.row_number().over(w) - 1).alias("lsn"),
         F.lit("insert").alias("op"),
         F.col("doc_id").cast("string").alias("doc_id"),
         tokens.alias("tokens"),

@@ -95,6 +95,12 @@ AUDIT = {
     "window_topn_per_key": ["Window"],
     "agg_histogram": ["HashAggregate", "Exchange"],
     "text_bigrams": ["TakeOrderedAndProject", "HashAggregate"],
+    # percentile sketch: the histogram is a map-side-combined hash agg;
+    # the window runs over DISTINCT values only (after the aggregate)
+    "agg_percentiles_sketch": ["HashAggregate", "Window"],
+    # stream-interval batch twin: must plan as an equi-join on the key
+    # with the interval as a post-join filter, never a BNLJ
+    "join_stream_interval": ["Join"],
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -144,6 +150,10 @@ PER_QUERY_FORBIDDEN = {
     "window_topn_per_key": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "agg_histogram": ["SortAggregate", "CartesianProduct"],
     "text_bigrams": ["Sort ", "CartesianProduct"],
+    # the sketch exists to avoid sorting rows: only the post-aggregate
+    # distinct-value frame may sort, and nothing may plan a cartesian
+    "agg_percentiles_sketch": ["SortAggregate", "CartesianProduct"],
+    "join_stream_interval": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 

@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "tokens_pack_examples",
     "join_asof",
     "window_sessionize",
+    "agg_percentiles_sketch",
+    "join_stream_interval",
 ]
 
 
@@ -102,6 +104,16 @@ def run_cdc_replay(
     work = workdir or tempfile.mkdtemp(prefix="bench_cdc_")
     log_dir = os.path.join(work, "wal")
     seg = n_events // n_segments
+
+    # JIT/worker-pool warmup FIRST (it JITs the generator's expression
+    # tree and the write path too), so gen_sec measures steady-state
+    # generation like every other best-of number here — r03 reported
+    # gen 9.75 s vs replay 3.91 s only because gen absorbed the fresh
+    # JVM's codegen cost
+    warm = os.path.join(work, "warm_wal")
+    spark_generate_events(spark, 200_000, n_docs=2_000).write.parquet(warm)
+    _one_replay(spark, warm, os.path.join(work, "warm_lake"), 200_000)
+
     t_gen = time.time()
     for i in range(n_segments):
         df = spark_generate_events(
@@ -109,11 +121,6 @@ def run_cdc_replay(
         )
         df.write.mode("append").parquet(log_dir)
     gen_sec = time.time() - t_gen
-
-    # JIT/worker-pool warmup on a small throwaway WAL
-    warm = os.path.join(work, "warm_wal")
-    spark_generate_events(spark, 200_000, n_docs=2_000).write.parquet(warm)
-    _one_replay(spark, warm, os.path.join(work, "warm_lake"), 200_000)
 
     walls = []
     phases: dict[float, dict] = {}
@@ -338,6 +345,139 @@ def run_changefeed(
         out["full_diff_sec"] / max(out["incremental_sec"], 1e-9), 2
     )
     shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def run_requeue(
+    spark,
+    n_events: int = 500_000,
+    n_docs: int = 200_000,
+    bad_frac: float = 0.10,
+    repeats: int = 2,
+) -> dict:
+    """Dead-letter replay cost: seed a table from a stream where 10% of
+    events carry a non-whitelisted source (they quarantine), then widen
+    the whitelist and requeue. This is the expensive maintenance mode —
+    the rescue merge is FORCED copy-on-write (requeued LSNs are below
+    the watermark, so merge-on-read's newest-commit-wins resolution
+    would be wrong) and it ends with a quarantine compact + filtered
+    archive swap. Reported per round so the CoW-forced cost is visible
+    round-over-round."""
+    from file_standardization_etl_spark.cdc.apply import CdcEngine
+    from file_standardization_etl_spark.cdc.events import (
+        BAD_SOURCES,
+        SOURCE_WHITELIST,
+        spark_generate_events,
+    )
+
+    widened = SOURCE_WHITELIST + [s for s in BAD_SOURCES if s]
+    walls, res = [], {}
+    for r in range(repeats):
+        work = tempfile.mkdtemp(prefix="bench_requeue_")
+        eng = CdcEngine(spark, os.path.join(work, "lake"), n_buckets=64)
+        eng.init()
+        eng.apply_batch(
+            spark_generate_events(
+                spark, n_events, n_docs=n_docs, bad_source_frac=bad_frac,
+                corrupt_frac=0.0,
+            ),
+            batch_id=0,
+        )
+        t0 = time.time()
+        res = eng.requeue_quarantine(widened)
+        walls.append(round(time.time() - t0, 3))
+        shutil.rmtree(work, ignore_errors=True)
+    best = min(walls)
+    return {
+        "examined": res.get("examined", 0),
+        "rescued": res.get("rescued", 0),
+        "merged": res.get("merged", 0),
+        "requeue_sec": best,
+        "requeue_runs_sec": walls,
+        "rescued_events_per_sec": round(res.get("rescued", 0) / best, 1),
+        "config": {"n_events": n_events, "n_docs": n_docs, "bad_frac": bad_frac},
+    }
+
+
+def run_vocab_crossover(
+    spark,
+    points: tuple = ((64_000, 256), (256_000, 1024), (1_000_000, 4096)),
+    batch_rows: int = 500,
+    n_batches: int = 3,
+) -> dict:
+    """The vocab-IVM crossover, measured instead of asserted (VERDICT r3:
+    refresh_speedup_vs_recompute was 0.7 at one sandbox geometry). The
+    claim is asymptotic: maintenance is O(delta + affected-bucket bytes)
+    per refresh while recompute is O(corpus). For bucket pruning to bite
+    the way it does at 10^10 events, bucket count must grow with the
+    corpus (every real deployment sizes buckets to a target file size —
+    here ~250 docs/bucket) while the micro-batch stays fixed, so the
+    affected fraction shrinks as the corpus grows. Sweep: corpus size ×
+    bucket count up 16x, same micro-batches; report maintain-per-batch
+    (flat) vs recompute (linear) at each point. Seeding uses the
+    snapshot bootstrap so the sweep's cost is maintenance, not replay."""
+    from pyspark.sql import functions as F
+
+    from file_standardization_etl_spark.cdc.apply import CdcEngine
+    from file_standardization_etl_spark.cdc.events import spark_generate_events
+
+    out = {"points": [], "config": {"batch_rows": batch_rows, "n_batches": n_batches}}
+    for n_docs, n_buckets in points:
+        work = tempfile.mkdtemp(prefix="bench_vxo_")
+        eng = CdcEngine(
+            spark, os.path.join(work, "lake"), n_buckets=n_buckets,
+            maintain_vocab=True,
+        )
+        eng.init()
+        snap = spark.range(n_docs).select(
+            F.format_string("doc%07d", F.col("id")).alias("doc_id"),
+            F.expr(
+                "transform(sequence(1, 64), "
+                "i -> cast(pmod(id * 2654435761 + i, 50257) as int))"
+            ).alias("tokens"),
+            F.lit(64).cast("int").alias("n_tok"),
+            F.lit("web").alias("source"),
+            (F.col("id") + 1).alias("lsn"),
+        )
+        eng.bootstrap(snap, as_of_lsn=n_docs)
+        base_stage = eng.timings.get("vocab_stage", 0.0)
+        base_fold = eng.timings.get("vocab_fold", 0.0)
+        lsn = n_docs + 1
+        t0 = time.time()
+        for b in range(1, n_batches + 1):
+            eng.apply_batch(
+                spark_generate_events(
+                    spark, batch_rows, n_docs=n_docs, lsn_start=lsn
+                ),
+                batch_id=b,
+            )
+            lsn += batch_rows
+        t_drain = time.time()
+        eng._vocab.fold_ready()
+        drain = time.time() - t_drain
+        wall = time.time() - t0
+        stage_sec = eng.timings.get("vocab_stage", 0.0) - base_stage
+        fold_sec = eng.timings.get("vocab_fold", 0.0) - base_fold + drain
+        maintain = (stage_sec + fold_sec) / n_batches
+        t1 = time.time()
+        eng.state().select(F.explode("tokens").alias("t")).groupBy(
+            F.col("t").cast("bigint").alias("token")
+        ).agg(F.count(F.lit(1)).alias("n_occ")).count()
+        recompute_sec = time.time() - t1
+        shutil.rmtree(work, ignore_errors=True)
+        out["points"].append(
+            {
+                "n_docs": n_docs,
+                "n_buckets": n_buckets,
+                "maintain_sec_per_batch": round(maintain, 3),
+                "stage_sec_per_batch": round(stage_sec / n_batches, 3),
+                "fold_sec_per_batch": round(fold_sec / n_batches, 3),
+                "incremental_wall_sec": round(wall, 2),
+                "recompute_sec": round(recompute_sec, 3),
+                "speedup_vs_recompute": round(recompute_sec / max(maintain, 1e-9), 2),
+            }
+        )
+    out["speedup_at_largest"] = out["points"][-1]["speedup_vs_recompute"]
     return out
 
 
@@ -677,12 +817,15 @@ def main():
     cdc = run_cdc_replay(spark, args.events, repeats=2)
     cdc["incremental"] = run_cdc_incremental(spark)
     cdc["vocab_maintenance"] = run_vocab_maintenance(spark)
+    cdc["vocab_crossover"] = run_vocab_crossover(spark)
     cdc["changefeed"] = run_changefeed(spark)
     cdc["bootstrap"] = run_bootstrap(spark)
+    cdc["requeue"] = run_requeue(spark)
     queries = {"cdc_full_replay": cdc["replay_sec"]}
     queries["cdc_incremental_batch"] = cdc["incremental"]["auto"]["sec_per_batch"]
     queries["cdc_bootstrap"] = cdc["bootstrap"]["bootstrap_sec"]
     queries["vocab_maintain_batch"] = cdc["vocab_maintenance"]["maintain_sec_per_batch"]
+    queries["cdc_requeue"] = cdc["requeue"]["requeue_sec"]
     query_runs = {"cdc_full_replay": cdc["replay_runs_sec"]}
     queries.update(cdc.pop("streaming_ops"))
     query_runs.update(cdc.pop("streaming_ops_runs"))
@@ -691,20 +834,47 @@ def main():
         queries.update(best)
         query_runs.update(runs)
     total = round(time.time() - t_total, 2)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_and_headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "query_runs": query_runs,
-                "sf": sf,
-                "cdc": cdc,
-                "cpus": cpus,
-            }
-        )
+    # Full detail goes to a repo file; stdout gets ONE COMPACT line.
+    # r03's line outgrew the driver's stdout-tail window (BENCH_r03.json
+    # `parsed: null`), so the parseable contract is: headline fields +
+    # per-query best-of map only, everything else in BENCH_DETAIL.json.
+    full = {
+        "metric": "cdc_replay_and_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "query_runs": query_runs,
+        "sf": sf,
+        "cdc": cdc,
+        "cpus": cpus,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": "cdc_replay_and_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc": {
+            "events": cdc["events"],
+            "replay_sec": cdc["replay_sec"],
+            "events_per_sec": cdc["events_per_sec"],
+            "mor_merge_speedup": cdc["incremental"]["mor_merge_speedup"],
+            "bootstrap_speedup": cdc["bootstrap"]["speedup_vs_history_replay"],
+            "requeue_rescued_per_sec": cdc["requeue"]["rescued_events_per_sec"],
+            "vocab_crossover_speedup": [
+                [p["n_docs"], p["speedup_vs_recompute"]]
+                for p in cdc["vocab_crossover"]["points"]
+            ],
+        },
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

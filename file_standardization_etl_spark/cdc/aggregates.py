@@ -224,6 +224,12 @@ class TokenVocab:
 
     # ---------- per-chunk maintenance ----------
 
+    # above this many winner rows the old-side joins stop broadcasting
+    # (same rule of thumb as the hot path's routed join): a 10^7-row
+    # micro-batch's key set / old-token frame is too big to ship to
+    # every executor — shuffle both sides instead
+    BROADCAST_MAX_ROWS = 4_000_000
+
     def stage_delta(
         self,
         batch_id: int,
@@ -233,6 +239,7 @@ class TokenVocab:
         watermark: int,
         base_empty: bool = False,
         requires_version: int | None = None,
+        delta_rows: int | None = None,
     ) -> str | None:
         """Compute the signed (token, d_occ, d_docs) delta for one chunk
         against the PRE-merge snapshot and stage it durably. Must run
@@ -261,6 +268,8 @@ class TokenVocab:
         else:
             names = {c.id: c.name for c in self.target.schema().columns}
             key = names[self._fid_doc]
+            small = delta_rows is None or delta_rows <= self.BROADCAST_MAX_ROWS
+            keys = delta.select("doc_id")
             old = (
                 self.target.read(buckets=affected_buckets)
                 .select(
@@ -271,10 +280,14 @@ class TokenVocab:
                     ),
                     F.col(names[self._fid_tokens]).alias("__old_toks"),
                 )
-                .join(F.broadcast(delta.select("doc_id")), "doc_id")
+                .join(F.broadcast(keys) if small else keys, "doc_id")
             )
             j = delta.select("doc_id", "lsn", "op", "tokens").join(
-                F.broadcast(old), "doc_id", "left"
+                # `old` carries delta-sized TOKEN ARRAYS — broadcastable at
+                # micro-batch scale, shuffled past BROADCAST_MAX_ROWS
+                F.broadcast(old) if small else old,
+                "doc_id",
+                "left",
             )
         take = F.col("__old_lsn").isNull() | (F.col("lsn") > F.col("__old_lsn"))
         empty = F.array().cast("array<bigint>")

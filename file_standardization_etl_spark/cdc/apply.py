@@ -779,6 +779,7 @@ class CdcEngine:
                 self.applied_lsn(),
                 False,
                 rv,
+                n_delta,
             )
         try:
             self._merge_chunk(
@@ -1263,10 +1264,13 @@ class CdcEngine:
                             # would compare <= the already-folded marker
                             # and silently drop the redelivered chunk's
                             # vocab delta
-                            _b=batch_id, _c=ck, _d=delta, _a=affected, _w=watermark
+                            _b=batch_id, _c=ck, _d=delta, _a=affected,
+                            _w=watermark, _n=n_delta
                         ):
                             t0 = time.time()
-                            p = self._vocab.stage_delta(_b, _c, _d, _a, _w)
+                            p = self._vocab.stage_delta(
+                                _b, _c, _d, _a, _w, delta_rows=_n
+                            )
                             self.timings["vocab_stage"] = (
                                 self.timings.get("vocab_stage", 0.0) + time.time() - t0
                             )

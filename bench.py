@@ -485,7 +485,7 @@ def run_vocab_maintenance(
     spark,
     n_seed: int = 500_000,
     n_batches: int = 5,
-    batch_rows: int = 20_000,
+    batch_rows: int = 2_000,
     n_docs: int = 200_000,
 ) -> dict:
     """Incremental-view-maintenance bench (cdc/aggregates.py): seed a
@@ -500,8 +500,13 @@ def run_vocab_maintenance(
     from file_standardization_etl_spark.cdc.events import spark_generate_events
 
     work = tempfile.mkdtemp(prefix="bench_vocab_")
+    # bucket count follows the deployment sizing rule (~250 docs/bucket,
+    # buckets grow with the corpus) — at 64 buckets every 20k-key batch
+    # touched EVERY bucket, so the stage's "pruned" old-side read was a
+    # full-corpus scan and the speedup-vs-recompute number measured a
+    # degenerate geometry (see run_vocab_crossover for the sweep)
     eng = CdcEngine(
-        spark, os.path.join(work, "lake"), n_buckets=64, maintain_vocab=True
+        spark, os.path.join(work, "lake"), n_buckets=2048, maintain_vocab=True
     )
     eng.init()
     eng.apply_batch(
@@ -561,6 +566,9 @@ def run_vocab_maintenance(
             # ratio at this sf understates the 10^10-event gap by the
             # corpus-size ratio.
             "refresh_speedup_vs_recompute": round(recompute_sec / max(best, 1e-9), 2),
+            # single-geometry number; the corpus-growth sweep that shows
+            # the crossover widening is run_vocab_crossover
+            "see_also": "vocab_crossover",
             "n_vocab_tokens": n_vocab,
             "config": {
                 "n_seed": n_seed,

@@ -299,36 +299,50 @@ class TokenVocab:
             take & ~F.coalesce(F.col("__old_del"), F.lit(True)),
             F.coalesce(F.col("__old_toks").cast("array<bigint>"), empty),
         ).otherwise(empty)
-        # ONE pass over the join: both signed sides are concatenated as
-        # (token, sign) structs and exploded together — a plus/minus
-        # union of two branches would recompute the join (and the
-        # old-side table read) twice
+        # ONE pass over the join and ONE shuffle total. Occurrence deltas
+        # are (token, ±1) over raw arrays; doc-frequency deltas are
+        # (token, ±1) over the ROW-LOCAL array_distinct of each side —
+        # per-(doc,token) presence never needs a (doc_id, token) shuffle,
+        # which was the old plan's widest exchange (delta-docs × distinct
+        # tokens rows). Here the only exchange is token-keyed and
+        # map-side-combined, so shuffle rows = distinct tokens per
+        # partition regardless of delta size.
         signed = j.select(
-            "doc_id",
             F.explode(
                 F.concat(
                     F.transform(
                         plus_arr,
-                        lambda x: F.struct(x.alias("t"), F.lit(1).alias("s")),
+                        lambda x: F.struct(
+                            x.alias("t"), F.lit(1).alias("o"), F.lit(0).alias("d")
+                        ),
                     ),
                     F.transform(
                         minus_arr,
-                        lambda x: F.struct(x.alias("t"), F.lit(-1).alias("s")),
+                        lambda x: F.struct(
+                            x.alias("t"), F.lit(-1).alias("o"), F.lit(0).alias("d")
+                        ),
+                    ),
+                    F.transform(
+                        F.array_distinct(plus_arr),
+                        lambda x: F.struct(
+                            x.alias("t"), F.lit(0).alias("o"), F.lit(1).alias("d")
+                        ),
+                    ),
+                    F.transform(
+                        F.array_distinct(minus_arr),
+                        lambda x: F.struct(
+                            x.alias("t"), F.lit(0).alias("o"), F.lit(-1).alias("d")
+                        ),
                     ),
                 )
             ).alias("ts"),
-        ).select("doc_id", F.col("ts.t").alias("token"), F.col("ts.s").alias("sign"))
-        per = signed.groupBy("doc_id", "token").agg(
-            F.sum("sign").alias("d_occ"),
-            # doc-frequency delta: present-in-new minus present-in-old
-            (
-                F.max(F.col("sign") == 1).cast("long")
-                - F.max(F.col("sign") == -1).cast("long")
-            ).alias("d_docs"),
         )
         counts = (
-            per.groupBy("token")
-            .agg(F.sum("d_occ").alias("d_occ"), F.sum("d_docs").alias("d_docs"))
+            signed.groupBy(F.col("ts.t").alias("token"))
+            .agg(
+                F.sum("ts.o").alias("d_occ"),
+                F.sum("ts.d").alias("d_docs"),
+            )
             .filter((F.col("d_occ") != 0) | (F.col("d_docs") != 0))
         )
         # requeue pendings get their own namespace: their synthetic chunk

@@ -162,3 +162,19 @@ def test_vocab_deletes_retract_counts(spark, tmp_path):
     # a: [1,1,2] -> [3]; b (tokens [2,3]) deleted -> only a's single 3 left
     assert maintained(engine) == {3: (1, 1)}
     assert maintained(engine) == recompute(engine)
+
+
+def test_vocab_stage_shuffle_fallback_past_broadcast_gate(spark, tmp_path, monkeypatch):
+    """Past BROADCAST_MAX_ROWS the stage's old-side joins must shuffle
+    instead of broadcasting (a 10^7-row micro-batch's key set / old-token
+    frame is too big to ship to every executor) — same counts either way."""
+    from file_standardization_etl_spark.cdc import aggregates as agg
+
+    monkeypatch.setattr(agg.TokenVocab, "BROADCAST_MAX_ROWS", 1)
+    cfg = EventGenConfig(n_events=3000, n_docs=150, seed=31, shuffle_arrival=True)
+    events = generate_events(cfg)
+    engine = make_engine(spark, tmp_path)
+    for i, lo in enumerate(range(0, len(events), 1000)):
+        engine.apply_batch(events_df(spark, events[lo : lo + 1000]), batch_id=i)
+    engine._vocab.fold_ready()
+    assert maintained(engine) == recompute(engine)

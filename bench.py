@@ -499,26 +499,27 @@ def run_vocab_maintenance(
     from file_standardization_etl_spark.cdc.apply import CdcEngine
     from file_standardization_etl_spark.cdc.events import spark_generate_events
 
-    work = tempfile.mkdtemp(prefix="bench_vocab_")
     # bucket count follows the deployment sizing rule (~250 docs/bucket,
-    # buckets grow with the corpus) — at 64 buckets every 20k-key batch
-    # touched EVERY bucket, so the stage's "pruned" old-side read was a
+    # buckets grow with the corpus) — at 64 buckets every batch touched
+    # EVERY bucket, so the stage's "pruned" old-side read was a
     # full-corpus scan and the speedup-vs-recompute number measured a
     # degenerate geometry (see run_vocab_crossover for the sweep)
-    eng = CdcEngine(
-        spark, os.path.join(work, "lake"), n_buckets=2048, maintain_vocab=True
-    )
-    eng.init()
-    eng.apply_batch(
-        spark_generate_events(spark, n_seed, n_docs=n_docs, lsn_start=1), batch_id=0
-    )
-
     out = {}
-    lsn = n_seed + 1
-    batch_id = 1
-    # same seeded table, two fold policies back-to-back: per-merge folding
-    # vs outbox amortization (reads stay exact — fold-on-read)
+    # each fold policy gets its OWN freshly seeded table: reusing one
+    # table made the second policy inherit the first's MOR delta stacks,
+    # conflating fold cadence with accumulated stack depth
     for label, fe in (("fold_every_1", 1), ("fold_every_4", 4)):
+        work = tempfile.mkdtemp(prefix="bench_vocab_")
+        eng = CdcEngine(
+            spark, os.path.join(work, "lake"), n_buckets=2048, maintain_vocab=True
+        )
+        eng.init()
+        eng.apply_batch(
+            spark_generate_events(spark, n_seed, n_docs=n_docs, lsn_start=1),
+            batch_id=0,
+        )
+        lsn = n_seed + 1
+        batch_id = 1
         eng._vocab.fold_every = fe
         base_stage = eng.timings.get("vocab_stage", 0.0)
         base_fold = eng.timings.get("vocab_fold", 0.0)
@@ -543,6 +544,8 @@ def run_vocab_maintenance(
             "fold_sec_per_batch": round(fold_sec / n_batches, 3),
             "incremental_wall_sec": round(wall, 2),
         }
+        if label != "fold_every_4":  # last table feeds the recompute below
+            shutil.rmtree(work, ignore_errors=True)
 
     n_vocab = eng.vocab().count()
     t1 = time.time()

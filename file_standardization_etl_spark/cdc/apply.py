@@ -928,6 +928,12 @@ class CdcEngine:
             delta_bytes=delta_bytes,
             mode=mode if mode is not None else self.merge_mode,
             pre_commit=pre_commit,
+            # vocab maintenance re-reads the affected buckets' old rows
+            # EVERY batch (stage_delta's pre-merge snapshot scan), so read
+            # amplification grows with MOR stack depth — fold around depth
+            # 3 instead of 8 (the cycle-cost minimum; see merge docstring
+            # and BENCH_DETAIL.json vocab_maintenance)
+            max_stack=3 if self._vocab is not None else None,
         )
 
     # ---------- apply one micro-batch ----------

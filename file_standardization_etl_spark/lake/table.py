@@ -812,6 +812,7 @@ class LakeTable:
         delta_bytes: int | None = None,
         mode: str = "cow",
         pre_commit=None,
+        max_stack: int | None = None,
     ) -> None:
         """Bucket-pruned MERGE: join current state of *affected buckets only*
         with ``delta`` on the key and let ``apply_fn(old_cols, new_cols)``
@@ -882,6 +883,20 @@ class LakeTable:
           happens as a natural consequence of the policy, no separate
           scheduler needed.
 
+        ``max_stack`` overrides ``MOR_MAX_STACK`` for this call (only
+        meaningful with ``mode="auto"``). Write-mostly tables want the
+        default (8): stacks amortize merges and nothing pays to read
+        them. A table some job RE-READS every batch — e.g. a maintained
+        derived aggregate whose stage must scan the affected buckets'
+        old rows per micro-batch — flips the economics: read cost grows
+        ~linearly with stack depth (each delta file in an affected
+        bucket is another file open + MOR resolution branch), so the
+        optimal fold cadence is short. With per-file read overhead ~half
+        a base-read and CoW ~3 base-reads, cycle cost is minimized
+        around depth 3 (measured in BENCH_DETAIL.json
+        ``vocab_maintenance``; the CDC engine passes 3 when
+        ``maintain_vocab=True``).
+
         ``pre_commit``, when given, is invoked after all data is written
         but immediately before the snapshot commit, on every exit path
         that commits. If it raises, the merge aborts uncommitted (the
@@ -945,7 +960,8 @@ class LakeTable:
                 (len(aff_files.get(str(b), {}).get("deltas") or []) for b in affected),
                 default=0,
             )
-            use_mor = stack < self.MOR_MAX_STACK and est_delta <= max(
+            cap = max_stack if max_stack is not None else self.MOR_MAX_STACK
+            use_mor = stack < cap and est_delta <= max(
                 self.TARGET_WRITE_BYTES, aff_bytes_all // self.MOR_COMPACT_RATIO
             )
         else:

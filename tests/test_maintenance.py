@@ -352,3 +352,127 @@ def test_compact_tombstone_expiry_resolves_renamed_columns(spark, tmp_path):
         lsn_column=names[FID_LSN],
     )
     assert engine.table.read().filter(F.col("is_dead")).count() == 0
+
+
+def test_fuzz_maintenance_interleaved_with_ingest(spark, tmp_path):
+    """Maintenance-op fuzz (2 seeded cases): a random maintenance op runs
+    between ingest batches — plain compaction, compaction with tombstone
+    expiry (which records the requeue fence), rebucket to a different
+    bucket count, snapshot GC, or a widened-whitelist requeue — with the
+    vocab aggregate maintained throughout and a rename DDL mid-stream in
+    one case. Final live state, remaining tombstones, quarantine, and the
+    vocab aggregate must equal the dict oracle extended with the
+    expiry-fence and requeue rules. Covers the interactions the
+    single-op tests can't: MOR merges onto a rebucketed layout, requeue
+    after (and before) an expiry fence, GC under accumulated versions."""
+    import random as _random
+
+    from file_standardization_etl_spark.cdc.apply import FID_DELETED, FID_DOC, FID_LSN, FID_TOKENS
+    from file_standardization_etl_spark.cdc.events import BAD_SOURCES, SOURCE_WHITELIST
+    from file_standardization_etl_spark.cdc.oracle import OracleState, validation_reason
+    from tests.test_vocab import maintained, recompute
+
+    widened = SOURCE_WHITELIST + [s for s in BAD_SOURCES if s]
+    for case in range(2):
+        rng = _random.Random(8800 + case)
+        n_events = 1500
+        ddl = ({"action": "rename_column", "name": "source", "new_name": "origin"},)
+        cfg = EventGenConfig(
+            n_events=n_events, n_docs=110, seed=8900 + case,
+            bad_source_frac=0.12, delete_frac=0.15, disorder_window=30,
+            schema_change_lsns=(700,) if case == 1 else (),
+            schema_changes=ddl if case == 1 else (),
+        )
+        events = generate_events(cfg)
+        eng = CdcEngine(spark, str(tmp_path / f"mcase{case}"), maintain_vocab=True)
+        eng.init()
+
+        st = OracleState()
+        fence = {"v": 0}
+
+        def oracle_expire():
+            w = st.max_applied_lsn + 1
+            fence["v"] = max(fence["v"], w)
+            st.docs = {
+                k: v for k, v in st.docs.items()
+                if not (v["deleted"] and v["last_lsn"] < w)
+            }
+
+        def oracle_requeue():
+            rescued = [
+                q for q in st.quarantine
+                if validation_reason(q, tuple(widened)) is None
+                and q["lsn"] >= fence["v"]
+            ]
+            for ev in sorted(rescued, key=lambda e: e["lsn"]):
+                doc = st.docs.get(ev["doc_id"])
+                if doc is not None and ev["lsn"] <= doc["last_lsn"]:
+                    continue
+                st.docs[ev["doc_id"]] = {
+                    "tokens": list(ev["tokens"]), "n_tok": ev["n_tok"],
+                    "source": ev["source"], "last_lsn": ev["lsn"],
+                    "deleted": False,
+                }
+            st.quarantine = [q for q in st.quarantine if q not in rescued]
+
+        cuts = sorted(rng.sample(range(100, n_events - 100), 4))
+        bounds = [0] + cuts + [n_events]
+        batches = [
+            [e for e in events if lo < e["lsn"] <= hi]
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
+        ops_pool = rng.sample(
+            ["none", "compact", "expire", "rebucket", "gc", "requeue"], len(batches)
+        )
+        ops_run = []
+        for i, b in enumerate(batches):
+            eng.apply_batch(events_df(spark, b), batch_id=i)
+            replay(b, st)
+            op = ops_pool[i]
+            ops_run.append(op)
+            names = {c.id: c.name for c in eng.table.schema().columns}
+            if op == "compact":
+                eng.table.compact(
+                    tombstone_column=names.get(FID_DELETED, "deleted"),
+                    lsn_column=names.get(FID_LSN, "last_lsn"),
+                )
+            elif op == "expire":
+                wm = eng.applied_lsn() + 1
+                eng.table.compact(
+                    expire_tombstones_below_lsn=wm,
+                    tombstone_column=names.get(FID_DELETED, "deleted"),
+                    lsn_column=names.get(FID_LSN, "last_lsn"),
+                    properties_update={"tombstones_expired_below_lsn": wm},
+                )
+                oracle_expire()
+            elif op == "rebucket":
+                eng.table.rebucket(rng.choice([4, 8, 24]))
+            elif op == "gc":
+                eng.table.expire_snapshots(keep_last=2, grace_seconds=0.0)
+            elif op == "requeue":
+                eng.requeue_quarantine(widened)
+                oracle_requeue()
+        assert len(set(ops_run)) == len(ops_run), f"sampled ops not distinct: {ops_run}"
+
+        n = {c.id: c.name for c in eng.table.schema().columns}
+        got_live = {
+            r[n[FID_DOC]]: (list(r[n[FID_TOKENS]]), r[n[FID_LSN]])
+            for r in eng.state().collect()
+        }
+        want_live = {
+            k: (list(v["tokens"]), v["last_lsn"]) for k, v in st.live_docs().items()
+        }
+        assert got_live == want_live, f"case {case} ops {ops_run}"
+        got_tombs = {
+            r[n[FID_DOC]]: r[n[FID_LSN]]
+            for r in eng.state(include_deleted=True)
+            .filter(F.col(n[FID_DELETED]))
+            .collect()
+        }
+        want_tombs = {
+            k: v["last_lsn"] for k, v in st.docs.items() if v["deleted"]
+        }
+        assert got_tombs == want_tombs, f"case {case} ops {ops_run}"
+        assert eng.quarantine().count() == len(st.quarantine), f"case {case}"
+        eng._vocab.fold_ready()
+        assert maintained(eng) == recompute(eng), f"case {case} ops {ops_run}"

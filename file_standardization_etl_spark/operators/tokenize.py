@@ -382,3 +382,67 @@ def pack_examples(
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 100,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Cross-document exact duplicate n-gram spans — the fixed-width
+    formulation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    n-word gram appearing in at least ``min_docs`` distinct documents,
+    with its document and occurrence counts, top-``k`` by occurrence
+    (count desc, gram asc — a total order, since gram is the group key).
+
+    Scale shape: the exploded span stream is ~one row per token, so the
+    wide shuffle must not carry W-token strings. Positions emit an
+    8-byte ``xxhash64`` of the gram; the first aggregate (map-side
+    combined) counts distinct docs per HASH, and only hashes clearing
+    ``min_docs`` — a set several orders of magnitude smaller than the
+    position stream on real corpora — are joined back (broadcast,
+    ``broadcast_hot=False`` for the shuffled fallback) to gate the exact
+    gram-text aggregate. A hash collision can only ADD a gram to the
+    gated set; the final filter re-applies ``min_docs`` on the exact
+    per-gram count, so the result is collision-proof. Reference scope:
+    the reference dedups rows by business key (file_standardization_job
+    .py:214 drop_duplicates); span-level corpus dedup is the
+    training-data extension of that same exact-match family.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
+    spans = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, size(w) - {n - 1}),"
+                       f" i -> concat_ws(' ', {parts}))")
+            ).alias("gram"),
+        )
+        .select("doc_id", "gram", F.xxhash64("gram").alias("gram_h"))
+    )
+    hot = (
+        spans.groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_h")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return (
+        spans.join(hot, "gram_h", "left_semi")
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occ").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -446,6 +446,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions (never driver-covered by construction)
     "agg_percentiles_sketch",
     "join_stream_interval",
+    "tokens_dup_spans",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_PRIORITY if k in QUERIES},

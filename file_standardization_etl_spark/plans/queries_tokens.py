@@ -287,3 +287,37 @@ TOKEN_QUERIES: dict[str, tuple] = {
     "tokens_clean_train": (q_tokens_clean_train, SQL_TOKENS_CLEAN),
     "tokens_pack_examples": (q_tokens_pack_examples, SQL_TOKENS_PACK),
 }
+
+
+def q_tokens_dup_spans(spark, sf_dir):
+    """Cross-document duplicate n-gram spans (ExactSubstr shape): the
+    position stream shuffles 8-byte xxhash64 keys, never W-word strings;
+    only hashes hot across >= 2 docs gate the exact gram aggregate
+    (collision-proof: min_docs is re-applied on exact counts)."""
+    return tokenize.dup_spans(load(spark, sf_dir, "documents"), n=6, k=100)
+
+
+# The oracle groups gram text directly (DuckDB has no xxhash64); the
+# hash gate is a pure filter on the Spark side, so both produce the
+# identical exact (gram, n_docs, n_occ) relation. (n_occ DESC, gram) is
+# a total order — gram is the group key — so LIMIT is deterministic.
+SQL_TOKENS_DUP_SPANS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(w, s, s + 5), ' ') AS gram
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 4)) AS s
+    FROM t WHERE len(w) >= 6
+  )
+), c AS (
+  SELECT gram,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM g GROUP BY gram
+)
+SELECT gram, n_docs, n_occ FROM c WHERE n_docs >= 2
+ORDER BY n_occ DESC, gram LIMIT 100
+"""
+
+TOKEN_QUERIES["tokens_dup_spans"] = (q_tokens_dup_spans, SQL_TOKENS_DUP_SPANS)

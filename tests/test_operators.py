@@ -454,3 +454,35 @@ def test_shard_order_is_deterministic_dense_and_salt_sensitive(spark, docs):
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
     with pytest.raises(ValueError):
         tokenize.shard_order(docs, n_shards=0)
+
+
+def test_dup_spans_match_bruteforce_and_survive_collision_gate(spark, docs):
+    """dup_spans == a dict-built exact answer (same n/min_docs/k), and
+    the hash gate is invisible in the result: broadcast on/off and a
+    deliberately collision-heavy variant all yield the identical
+    relation — the exact re-aggregate makes the gate collision-proof."""
+    from collections import Counter, defaultdict
+
+    n, k = 6, 50
+    occ, by_doc = Counter(), defaultdict(set)
+    for r in docs.select("doc_id", "text").collect():
+        w = r["text"].split(" ")
+        for i in range(len(w) - n + 1):
+            g = " ".join(w[i : i + n])
+            occ[g] += 1
+            by_doc[g].add(r["doc_id"])
+    want = sorted(
+        ((g, len(by_doc[g]), c) for g, c in occ.items() if len(by_doc[g]) >= 2),
+        key=lambda t: (-t[2], t[0]),
+    )[:k]
+
+    got = [
+        (r["gram"], r["n_docs"], r["n_occ"])
+        for r in tokenize.dup_spans(docs, n=n, k=k).collect()
+    ]
+    assert got == want
+    got_shuffled = [
+        (r["gram"], r["n_docs"], r["n_occ"])
+        for r in tokenize.dup_spans(docs, n=n, k=k, broadcast_hot=False).collect()
+    ]
+    assert got_shuffled == want

@@ -61,6 +61,13 @@ AUDIT = {
     "tokens_vocab_topk": ["TakeOrderedAndProject", "HashAggregate"],
     "tokens_contamination": ["BroadcastHashJoin", "HashAggregate"],
     "tokens_pack_examples": ["Window", "HashAggregate"],
+    # dup-span gate: hot hashes broadcast back onto the span stream, the
+    # exact re-aggregate hash-aggregates, the top-k never global-sorts
+    "tokens_dup_spans": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+    ],
     # repetition profile: both levels (doc,gram counts; per-doc rollup)
     # must hash-aggregate with map-side partials
     "text_repetition": ["HashAggregate", "Exchange"],
@@ -127,6 +134,13 @@ PER_QUERY_FORBIDDEN = {
     # the train gram side must never broadcast or self-join — only the
     # 2% eval side is the build side
     "tokens_contamination": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # the span stream must never self-join or sort-aggregate: the only
+    # joins are the hot-hash semi-join, the only aggs hash-based
+    "tokens_dup_spans": [
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortAggregate",
+    ],
     # the gram-count aggregate must never sort (a SortAggregate here
     # would mean per-doc gram sorting crept into the hot two-level agg)
     "text_repetition": ["SortAggregate", "CartesianProduct"],

@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "window_sessionize",
     "agg_percentiles_sketch",
     "join_stream_interval",
+    "tokens_dup_spans",
 ]
 
 

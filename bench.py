@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     "agg_percentiles_sketch",
     "join_stream_interval",
     "tokens_dup_spans",
+    "tokens_strip_dup_spans",
 ]
 
 

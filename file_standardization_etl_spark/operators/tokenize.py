@@ -446,3 +446,83 @@ def dup_spans(
         .orderBy(F.col("n_occ").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    n: int = 8,
+    k: int = 500,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """The corrective action behind :func:`dup_spans` (Lee et al. 2022):
+    every occurrence of a repeated n-word gram EXCEPT the corpus-global
+    first (min (doc_id, position), a total order) is masked, and each
+    affected document reports exact damage stats —
+    (doc_id, n_words, n_spans_masked, n_words_masked) where
+    ``n_words_masked`` counts the distinct word positions covered by the
+    union of that doc's masked spans (overlapping spans do not double
+    count). Top-``k`` by (n_words_masked desc, doc_id) — a total order.
+
+    Scale shape: identical gate to :func:`dup_spans` — the per-position
+    stream carries only (doc_id, pos, hash8); repetition hotness
+    (occurrences >= 2, a plain count, cheaper than distinct-doc
+    counting) is aggregated map-side per hash, and only hot hashes
+    survive to the exact stages. Keeper election and masking then run on
+    the gated stream (orders of magnitude smaller than the corpus): one
+    row_number window over exact gram text partitions, ordered by
+    (doc_id, pos) — so a hash collision merely lets a unique gram
+    through the gate, where it ranks first in its own partition and
+    nothing is masked.
+    Per-doc coverage explodes each masked span into its n positions
+    row-locally (bounded by n) and hash-aggregates distinct positions —
+    no per-doc buffer is ever collected.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n_words"))
+    spans = (
+        base.filter(F.col("n_words") >= n)
+        .select(
+            "doc_id",
+            "n_words",
+            F.posexplode(
+                F.expr(f"transform(sequence(1, size(w) - {n - 1}),"
+                       f" i -> concat_ws(' ', {parts}))")
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "n_words", "pos", "gram", F.xxhash64("gram").alias("gram_h"))
+    )
+    hot = (
+        spans.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gram_h")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    gated = spans.join(hot, "gram_h", "left_semi")
+    rn = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    masked = (
+        gated.withColumn("_rn", F.row_number().over(rn))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", "n_words", "pos")
+    )
+    covered = masked.select(
+        "doc_id",
+        "n_words",
+        "pos",
+        F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("wpos"),
+    )
+    return (
+        covered.groupBy("doc_id", "n_words")
+        .agg(
+            F.countDistinct("pos").alias("n_spans_masked"),
+            F.countDistinct("wpos").alias("n_words_masked"),
+        )
+        .select("doc_id", "n_words", "n_spans_masked", "n_words_masked")
+        .orderBy(F.col("n_words_masked").desc(), F.col("doc_id"))
+        .limit(k)
+    )

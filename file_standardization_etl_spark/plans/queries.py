@@ -447,6 +447,7 @@ _DRIVER_PRIORITY = [
     "agg_percentiles_sketch",
     "join_stream_interval",
     "tokens_dup_spans",
+    "tokens_strip_dup_spans",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_PRIORITY if k in QUERIES},

@@ -321,3 +321,49 @@ ORDER BY n_occ DESC, gram LIMIT 100
 """
 
 TOKEN_QUERIES["tokens_dup_spans"] = (q_tokens_dup_spans, SQL_TOKENS_DUP_SPANS)
+
+
+def q_tokens_strip_dup_spans(spark, sf_dir):
+    """Repeated-span removal stats (the ExactSubstr corrective action):
+    every non-first occurrence of a repeated n-gram is masked; per-doc
+    exact damage stats via row-local span->position explode + distinct
+    hash-agg. Same 8-byte hash gate as tokens_dup_spans."""
+    return tokenize.strip_dup_spans(load(spark, sf_dir, "documents"), n=6, k=500)
+
+
+# Positions are 0-based in Spark (posexplode) and 1-based here; they are
+# internal only — keeper order and span-overlap geometry are translation-
+# invariant, so the output relation is identical.
+SQL_TOKENS_STRIP_SPANS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), b AS (
+  SELECT doc_id, w, len(w) AS n_words FROM t
+), g AS (
+  SELECT doc_id, n_words, s AS pos,
+         array_to_string(list_slice(w, s, s + 5), ' ') AS gram
+  FROM (
+    SELECT doc_id, n_words, w, unnest(range(1, n_words - 4)) AS s
+    FROM b WHERE n_words >= 6
+  )
+), rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), mk AS (
+  SELECT g.doc_id, g.n_words, g.pos,
+         ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+  FROM g JOIN rep USING (gram)
+), cov AS (
+  SELECT doc_id, n_words, pos, unnest(range(pos, pos + 6)) AS wpos
+  FROM mk WHERE rn > 1
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       COUNT(DISTINCT pos) AS n_spans_masked,
+       COUNT(DISTINCT wpos) AS n_words_masked
+FROM cov GROUP BY doc_id, n_words
+ORDER BY n_words_masked DESC, doc_id LIMIT 500
+"""
+
+TOKEN_QUERIES["tokens_strip_dup_spans"] = (
+    q_tokens_strip_dup_spans,
+    SQL_TOKENS_STRIP_SPANS,
+)

@@ -486,3 +486,39 @@ def test_dup_spans_match_bruteforce_and_survive_collision_gate(spark, docs):
         for r in tokenize.dup_spans(docs, n=n, k=k, broadcast_hot=False).collect()
     ]
     assert got_shuffled == want
+
+
+def test_strip_dup_spans_match_bruteforce(spark, docs):
+    """strip_dup_spans == a dict-built exact answer: mask every
+    occurrence of a repeated n-gram except the corpus-global first
+    (min (doc_id, pos)); per-doc distinct span/word-position coverage."""
+    from collections import defaultdict
+
+    n, k = 6, 200
+    occ = defaultdict(list)
+    nw = {}
+    for r in docs.select("doc_id", "text").collect():
+        w = r["text"].split(" ")
+        nw[r["doc_id"]] = len(w)
+        for i in range(len(w) - n + 1):
+            occ[" ".join(w[i : i + n])].append((r["doc_id"], i))
+    spans_by_doc, words_by_doc = defaultdict(set), defaultdict(set)
+    for g, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        for d, p in sorted(sites)[1:]:
+            spans_by_doc[d].add(p)
+            words_by_doc[d].update(range(p, p + n))
+    want = sorted(
+        (
+            (d, nw[d], len(spans_by_doc[d]), len(words_by_doc[d]))
+            for d in spans_by_doc
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:k]
+
+    got = [
+        (r["doc_id"], r["n_words"], r["n_spans_masked"], r["n_words_masked"])
+        for r in tokenize.strip_dup_spans(docs, n=n, k=k).collect()
+    ]
+    assert got == want

@@ -68,6 +68,11 @@ AUDIT = {
         "HashAggregate",
         "TakeOrderedAndProject",
     ],
+    "tokens_strip_dup_spans": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+    ],
     # repetition profile: both levels (doc,gram counts; per-doc rollup)
     # must hash-aggregate with map-side partials
     "text_repetition": ["HashAggregate", "Exchange"],

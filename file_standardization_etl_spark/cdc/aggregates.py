@@ -224,11 +224,17 @@ class TokenVocab:
 
     # ---------- per-chunk maintenance ----------
 
-    # above this many winner rows the old-side joins stop broadcasting
+    # above this many winner rows the old-side KEY join stops broadcasting
     # (same rule of thumb as the hot path's routed join): a 10^7-row
-    # micro-batch's key set / old-token frame is too big to ship to
-    # every executor — shuffle both sides instead
+    # micro-batch's key set is too big to ship to every executor —
+    # shuffle both sides instead
     BROADCAST_MAX_ROWS = 4_000_000
+    # the `old` frame carries TOKEN ARRAYS, so a row-count gate alone can
+    # green-light a broadcast past Spark's 8 GB hard limit (4M rows x
+    # ~512-token docs ~ 16 GB); it gets the lake's byte rule instead
+    # (estimated from delta_bytes when the caller staged the delta, else
+    # rows x 512 B — the same heuristic LakeTable.merge uses)
+    BROADCAST_MAX_BYTES = 256 << 20
 
     def stage_delta(
         self,
@@ -240,6 +246,7 @@ class TokenVocab:
         base_empty: bool = False,
         requires_version: int | None = None,
         delta_rows: int | None = None,
+        delta_bytes: int | None = None,
     ) -> str | None:
         """Compute the signed (token, d_occ, d_docs) delta for one chunk
         against the PRE-merge snapshot and stage it durably. Must run
@@ -269,6 +276,12 @@ class TokenVocab:
             names = {c.id: c.name for c in self.target.schema().columns}
             key = names[self._fid_doc]
             small = delta_rows is None or delta_rows <= self.BROADCAST_MAX_ROWS
+            est_bytes = (
+                delta_bytes
+                if delta_bytes is not None
+                else (delta_rows or 0) * 512
+            )
+            small_old = small and est_bytes <= self.BROADCAST_MAX_BYTES
             keys = delta.select("doc_id")
             old = (
                 self.target.read(buckets=affected_buckets)
@@ -284,8 +297,9 @@ class TokenVocab:
             )
             j = delta.select("doc_id", "lsn", "op", "tokens").join(
                 # `old` carries delta-sized TOKEN ARRAYS — broadcastable at
-                # micro-batch scale, shuffled past BROADCAST_MAX_ROWS
-                F.broadcast(old) if small else old,
+                # micro-batch scale, shuffled past BROADCAST_MAX_BYTES
+                # (byte-gated, not row-gated: the arrays dominate)
+                F.broadcast(old) if small_old else old,
                 "doc_id",
                 "left",
             )

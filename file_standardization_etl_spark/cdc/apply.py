@@ -1271,11 +1271,12 @@ class CdcEngine:
                             # and silently drop the redelivered chunk's
                             # vocab delta
                             _b=batch_id, _c=ck, _d=delta, _a=affected,
-                            _w=watermark, _n=n_delta
+                            _w=watermark, _n=n_delta, _db=delta_bytes
                         ):
                             t0 = time.time()
                             p = self._vocab.stage_delta(
-                                _b, _c, _d, _a, _w, delta_rows=_n
+                                _b, _c, _d, _a, _w, delta_rows=_n,
+                                delta_bytes=_db,
                             )
                             self.timings["vocab_stage"] = (
                                 self.timings.get("vocab_stage", 0.0) + time.time() - t0

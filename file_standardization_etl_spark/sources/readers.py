@@ -220,11 +220,16 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
             F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50_257
         ).cast("int"),
     )
+    # _pid must be MATERIALIZED as a column at the scan stage: both the
+    # window and the offset lookup sit downstream of the window's shuffle
+    # exchange, where a bare spark_partition_id() call would evaluate to
+    # the REDUCER partition id (duplicating or nulling LSNs for any
+    # multi-partition input) instead of the scan partition the offsets
+    # map was built from.
+    docs = docs.withColumn("_pid", F.spark_partition_id())
     counts = sorted(
         (r["_pid"], r["n"])
-        for r in docs.groupBy(F.spark_partition_id().alias("_pid"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in docs.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     offsets, base = [], 0
     for pid, n in counts:
@@ -235,9 +240,9 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
             F.array(*[F.lit(p) for p, _ in offsets]),
             F.array(*[F.lit(o) for _, o in offsets]),
         ),
-        F.spark_partition_id(),
+        F.col("_pid"),
     ) if offsets else F.lit(0)
-    w = Window.partitionBy(F.spark_partition_id()).orderBy("doc_id")
+    w = Window.partitionBy("_pid").orderBy("doc_id")
     return docs.select(
         (F.lit(lsn_start) + off + F.row_number().over(w) - 1).alias("lsn"),
         F.lit("insert").alias("op"),

@@ -373,6 +373,7 @@ def test_fuzz_maintenance_interleaved_with_ingest(spark, tmp_path):
     from tests.test_vocab import maintained, recompute
 
     widened = SOURCE_WHITELIST + [s for s in BAD_SOURCES if s]
+    ops_seen: set = set()
     for case in range(2):
         rng = _random.Random(8800 + case)
         n_events = 1500
@@ -421,9 +422,15 @@ def test_fuzz_maintenance_interleaved_with_ingest(spark, tmp_path):
             [e for e in events if lo < e["lsn"] <= hi]
             for lo, hi in zip(bounds, bounds[1:])
         ]
-        ops_pool = rng.sample(
-            ["none", "compact", "expire", "rebucket", "gc", "requeue"], len(batches)
+        # case 0 samples from all six (may include the no-op); case 1
+        # samples exactly the five real ops — together every maintenance
+        # op runs at least once, asserted below
+        universe = (
+            ["none", "compact", "expire", "rebucket", "gc", "requeue"]
+            if case == 0
+            else ["compact", "expire", "rebucket", "gc", "requeue"]
         )
+        ops_pool = rng.sample(universe, len(batches))
         ops_run = []
         for i, b in enumerate(batches):
             eng.apply_batch(events_df(spark, b), batch_id=i)
@@ -452,7 +459,7 @@ def test_fuzz_maintenance_interleaved_with_ingest(spark, tmp_path):
             elif op == "requeue":
                 eng.requeue_quarantine(widened)
                 oracle_requeue()
-        assert len(set(ops_run)) == len(ops_run), f"sampled ops not distinct: {ops_run}"
+        ops_seen.update(ops_run)
 
         n = {c.id: c.name for c in eng.table.schema().columns}
         got_live = {
@@ -476,3 +483,4 @@ def test_fuzz_maintenance_interleaved_with_ingest(spark, tmp_path):
         assert eng.quarantine().count() == len(st.quarantine), f"case {case}"
         eng._vocab.fold_ready()
         assert maintained(eng) == recompute(eng), f"case {case} ops {ops_run}"
+    assert ops_seen >= {"compact", "expire", "rebucket", "gc", "requeue"}, ops_seen

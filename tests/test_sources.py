@@ -54,6 +54,24 @@ def test_documents_bridge_valid_events(spark):
         assert validation_reason(r) in (None, "bad_source")
 
 
+def test_documents_bridge_lsns_unique_over_multipartition_input(spark):
+    """Regression: with a multi-partition input, the per-partition offset
+    lookup and the numbering window run downstream of a shuffle exchange;
+    a bare spark_partition_id() there returns the REDUCER id, which
+    duplicated LSNs under AQE (coalesced to one reducer => every group
+    got offset 0) and nulled them with AQE off (element_at miss). The
+    partition id must be materialized at the scan. Checked at several
+    partition counts and a non-default lsn_start."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    for parts, start in ((4, 1), (7, 1), (3, 1000)):
+        ev = readers.documents_as_change_events(
+            docs.repartition(parts), lsn_start=start
+        )
+        lsns = sorted(r["lsn"] for r in ev.select("lsn").collect())
+        assert lsns == list(range(start, start + n)), f"parts={parts}"
+
+
 def test_excel_grid_pipeline_with_injected_loader(spark):
     """S1 semantics without openpyxl: a fixture frame stands in for the
     sheet (header=None/dtype=str positional grid, ref

@@ -170,11 +170,17 @@ def test_vocab_stage_shuffle_fallback_past_broadcast_gate(spark, tmp_path, monke
     frame is too big to ship to every executor) — same counts either way."""
     from file_standardization_etl_spark.cdc import aggregates as agg
 
-    monkeypatch.setattr(agg.TokenVocab, "BROADCAST_MAX_ROWS", 1)
     cfg = EventGenConfig(n_events=3000, n_docs=150, seed=31, shuffle_arrival=True)
     events = generate_events(cfg)
-    engine = make_engine(spark, tmp_path)
-    for i, lo in enumerate(range(0, len(events), 1000)):
-        engine.apply_batch(events_df(spark, events[lo : lo + 1000]), batch_id=i)
-    engine._vocab.fold_ready()
-    assert maintained(engine) == recompute(engine)
+    # case 1: row gate trips (key join AND old-token join shuffle);
+    # case 2: rows pass but the BYTE gate trips — the old-token frame
+    # (which carries arrays, where a row-count gate alone could
+    # green-light a >8 GB broadcast) must shuffle on its own
+    for sub, attr in (("rows", "BROADCAST_MAX_ROWS"), ("bytes", "BROADCAST_MAX_BYTES")):
+        monkeypatch.setattr(agg.TokenVocab, attr, 1)
+        engine = make_engine(spark, tmp_path / sub)
+        for i, lo in enumerate(range(0, len(events), 1000)):
+            engine.apply_batch(events_df(spark, events[lo : lo + 1000]), batch_id=i)
+        engine._vocab.fold_ready()
+        assert maintained(engine) == recompute(engine), sub
+        monkeypatch.undo()

@@ -46,7 +46,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lake.table import LakeTable
+from ..lake.table import BROADCAST_MAX_KEY_ROWS, LakeTable
 
 VOCAB_COLUMNS = [("token", "bigint"), ("n_occ", "bigint"), ("n_docs", "bigint")]
 
@@ -225,16 +225,15 @@ class TokenVocab:
     # ---------- per-chunk maintenance ----------
 
     # above this many winner rows the old-side KEY join stops broadcasting
-    # (same rule of thumb as the hot path's routed join): a 10^7-row
-    # micro-batch's key set is too big to ship to every executor —
-    # shuffle both sides instead
-    BROADCAST_MAX_ROWS = 4_000_000
+    # — the engine-wide key-frame gate, shared with the hot path's routed
+    # join so retuning happens in exactly one place (lake/table.py)
+    BROADCAST_MAX_ROWS = BROADCAST_MAX_KEY_ROWS
     # the `old` frame carries TOKEN ARRAYS, so a row-count gate alone can
     # green-light a broadcast past Spark's 8 GB hard limit (4M rows x
-    # ~512-token docs ~ 16 GB); it gets the lake's byte rule instead
+    # ~512-token docs ~ 16 GB); it shares the lake's MOR byte rule
     # (estimated from delta_bytes when the caller staged the delta, else
     # rows x 512 B — the same heuristic LakeTable.merge uses)
-    BROADCAST_MAX_BYTES = 256 << 20
+    BROADCAST_MAX_BYTES = LakeTable.MOR_BROADCAST_MAX_BYTES
 
     def stage_delta(
         self,

@@ -47,7 +47,7 @@ from pyspark.sql import Observation
 from pyspark.sql import types as T
 
 from ..functions.validation import validation_reason_expr, with_reason
-from ..lake.table import LakeTable, bucket_expr
+from ..lake.table import BROADCAST_MAX_KEY_ROWS, LakeTable, bucket_expr
 from .events import EVENT_SCHEMA, SOURCE_WHITELIST
 
 QUARANTINE_REASONS = ["null_tokens", "empty_tokens", "bad_n_tok", "bad_source"]
@@ -695,7 +695,9 @@ class CdcEngine:
         applying them could resurrect deleted docs — they stay
         quarantined instead.
 
-        Returns {"examined", "rescued", "merged"} counts.
+        Returns {"examined", "count_drift", "rescued", "merged"} counts
+        (count_drift is 0 under the single-writer contract; nonzero
+        flags a concurrent writer racing the archive swap).
         """
         # a table whose vocab aggregate is maintained on disk MUST requeue
         # through a vocab-aware engine, or the rescue merge would commit
@@ -836,11 +838,27 @@ class CdcEngine:
             os.rename(tmp, self.quarantine_archive_path)
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(rescued_stage, ignore_errors=True)
-        assert kept + rescued_n == examined or not os.path.isdir(
-            self.quarantine_archive_path
+        # kept + rescued == examined under the documented single-writer
+        # contract; a concurrent ingester quarantining rows between the
+        # `examined` observation and the archive swap drifts the counts.
+        # Everything above has already committed, so report the drift
+        # (loudly) rather than fail a requeue that succeeded — and never
+        # via bare assert, which -O compiles out.
+        drift = (
+            kept + rescued_n - examined
+            if os.path.isdir(self.quarantine_archive_path)
+            else 0
         )
+        if drift:
+            print(
+                f"[cdc] requeue count drift {drift:+d} "
+                f"(kept={kept} rescued={rescued_n} examined={examined}) — "
+                "concurrent writer during a documented single-writer op?",
+                flush=True,
+            )
         return {
             "examined": examined,
+            "count_drift": drift,
             "rescued": rescued_n,
             "merged": n_delta,
         }
@@ -1148,7 +1166,7 @@ class CdcEngine:
                     keys = winners.select("doc_id", "lsn").withColumn(
                         "__win", F.lit(1)
                     )
-                    if n_delta <= 4_000_000:
+                    if n_delta <= BROADCAST_MAX_KEY_ROWS:
                         keys = F.broadcast(keys)
                     routed = (
                         chunk.drop("schema_change")

@@ -122,6 +122,14 @@ def bucket_expr(key: Column, n_buckets: int) -> Column:
 # error cleanly.
 LAYOUT_RESERVED = frozenset({"_bucket", "_seq", "_tag"})
 
+# Engine-wide broadcast gate for KEY-ONLY frames (doc_id / (doc_id, lsn)
+# rows, no payload arrays): above this many rows the frame is too big to
+# ship to every executor and the join falls back to a shuffle. Consumers:
+# the hot path's routed winner-key join (cdc/apply.py) and TokenVocab's
+# old-side key join (cdc/aggregates.py). Payload-carrying frames must use
+# a BYTE gate instead (LakeTable.MOR_BROADCAST_MAX_BYTES).
+BROADCAST_MAX_KEY_ROWS = 4_000_000
+
 
 class CommitConflict(RuntimeError):
     pass

@@ -235,12 +235,26 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
     for pid, n in counts:
         offsets.append((pid, base))
         base += n
-    off = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(p) for p, _ in offsets]),
-            F.array(*[F.lit(o) for _, o in offsets]),
+    # the offsets map and the output run as two separate jobs over the
+    # same scan; identical inputs plan identical splits, but a frame whose
+    # partitioning is unstable across jobs (sample(), a partially-evicted
+    # cache) would remap pids — a map miss must fail loudly, never emit
+    # NULL LSNs into a WAL
+    off = F.coalesce(
+        F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p, _ in offsets]),
+                F.array(*[F.lit(o) for _, o in offsets]),
+            ),
+            F.col("_pid"),
         ),
-        F.col("_pid"),
+        F.raise_error(
+            F.concat(
+                F.lit("LSN offsets map missing scan partition "),
+                F.col("_pid").cast("string"),
+                F.lit(" — input partitioning changed between jobs"),
+            )
+        ),
     ) if offsets else F.lit(0)
     w = Window.partitionBy("_pid").orderBy("doc_id")
     return docs.select(

@@ -69,8 +69,8 @@ SQL_STRATIFIED = f"""
 SELECT doc_id, source, rate_ppm, bucket
 FROM (
   SELECT doc_id, source,
-         1000000 // (TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) + 1)
-           AS rate_ppm,
+         CAST(1000000 // (TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) + 1)
+           AS BIGINT) AS rate_ppm,
          CAST({_sample_bucket_sql('doc_id', SAMPLE_SALT)} AS BIGINT) AS bucket
   FROM documents
 )

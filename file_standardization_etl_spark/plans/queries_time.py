@@ -262,11 +262,11 @@ sess AS (
                               ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(ts_us) AS start_us,
        MAX(ts_us) AS end_us,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, session_idx
 """
 
@@ -327,7 +327,7 @@ SELECT CAST(GROUPING(event_type) * 4 + GROUPING(day_idx) * 2
        COALESCE(day_idx, -1) AS day_idx,
        COALESCE(hour_idx, -1) AS hour_idx,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM base
 GROUP BY ROLLUP (event_type, day_idx, hour_idx)
 """

@@ -57,7 +57,42 @@ HEADLINE_QUERIES = [
     "join_stream_interval",
     "tokens_dup_spans",
     "tokens_strip_dup_spans",
+    "tokens_strip_dup_spans_rewrite",
 ]
+
+
+def run_hw_control(spark, sf_dir: str) -> dict:
+    """Bare scan+agg over the benchmark's own parquet — ZERO engine code.
+    The box's documented contention swing is up to 5x; this probe makes
+    every driver-mode artifact self-report its window quality instead of
+    needing a footnote (VERDICT r4 #4 — previously only --scaling mode
+    carried the control). Two probes: a byte-bound text scan (memory
+    bandwidth) and a numeric column scan+agg (CPU-side agg). Run at
+    bench start AND end — drift between the two flags a window shift
+    mid-artifact."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    text_walls, num_walls = [], []
+    for _ in range(3):
+        t0 = time.time()
+        docs.select(F.sum(F.octet_length("text"))).collect()
+        text_walls.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        li.select(
+            F.sum("l_quantity"),
+            F.sum("l_extendedprice"),
+            F.sum("l_discount"),
+            F.sum("l_tax"),
+        ).collect()
+        num_walls.append(round(time.time() - t0, 3))
+    return {
+        "text_scan_sec": min(text_walls),
+        "text_scan_runs": text_walls,
+        "numeric_scan_sec": min(num_walls),
+        "numeric_scan_runs": num_walls,
+    }
 
 
 def make_spark(cpus: int, local_dir: str | None = None):
@@ -825,6 +860,7 @@ def main():
 
     spark = make_spark(cpus)
     t_total = time.time()
+    hw_start = run_hw_control(spark, sf_dir)
     # best-of-2: this box shows multi-x run-to-run variance from neighbor
     # contention; a single sample regularly misreports steady state
     cdc = run_cdc_replay(spark, args.events, repeats=2)
@@ -846,6 +882,8 @@ def main():
         best, runs = run_queries(spark, sf_dir)
         queries.update(best)
         query_runs.update(runs)
+    hw_end = run_hw_control(spark, sf_dir)
+    hw_control = {"start": hw_start, "end": hw_end}
     total = round(time.time() - t_total, 2)
     # Full detail goes to a repo file; stdout gets ONE COMPACT line.
     # r03's line outgrew the driver's stdout-tail window (BENCH_r03.json
@@ -860,6 +898,7 @@ def main():
         "sf": sf,
         "cdc": cdc,
         "cpus": cpus,
+        "hw_control": hw_control,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -884,6 +923,12 @@ def main():
                 [p["n_docs"], p["speedup_vs_recompute"]]
                 for p in cdc["vocab_crossover"]["points"]
             ],
+        },
+        "hw_control": {
+            "start_text_scan_sec": hw_start["text_scan_sec"],
+            "end_text_scan_sec": hw_end["text_scan_sec"],
+            "start_numeric_scan_sec": hw_start["numeric_scan_sec"],
+            "end_numeric_scan_sec": hw_end["numeric_scan_sec"],
         },
         "detail_file": "BENCH_DETAIL.json",
     }

@@ -274,13 +274,20 @@ class TokenVocab:
         else:
             names = {c.id: c.name for c in self.target.schema().columns}
             key = names[self._fid_doc]
-            small = delta_rows is None or delta_rows <= self.BROADCAST_MAX_ROWS
+            # unknown size is NOT small: with no row or byte hint the
+            # token-array-carrying `old` frame must take the shuffled
+            # path — defaulting est_bytes to 0 here would broadcast it
+            # unconditionally, the exact failure the gate exists to stop
+            small = delta_rows is not None and delta_rows <= self.BROADCAST_MAX_ROWS
             est_bytes = (
                 delta_bytes
                 if delta_bytes is not None
-                else (delta_rows or 0) * 512
+                else (delta_rows * 512 if delta_rows is not None else None)
             )
-            small_old = small and est_bytes <= self.BROADCAST_MAX_BYTES
+            small_old = (
+                small and est_bytes is not None
+                and est_bytes <= self.BROADCAST_MAX_BYTES
+            )
             keys = delta.select("doc_id")
             old = (
                 self.target.read(buckets=affected_buckets)

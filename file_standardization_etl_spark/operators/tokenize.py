@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lake.table import BROADCAST_MAX_KEY_ROWS, LakeTable
+
 TOKEN = "substring(md5(x), 1, 8)"
 TRAIN_PCT = 98  # default train band of the 0-99 split bucket
 
@@ -384,12 +386,49 @@ def pack_examples(
     )
 
 
+def _gate_broadcast(df: DataFrame, mode, row_bytes):
+    """Measured broadcast gate for a distilled small-side frame: with
+    ``mode=None`` (auto — the default at every call site) the frame is
+    persisted, its rows and estimated bytes are COUNTED with a 1-row
+    aggregate, and it is broadcast only when both clear the engine-wide
+    gate constants (``lake.table.BROADCAST_MAX_KEY_ROWS`` rows /
+    ``LakeTable.MOR_BROADCAST_MAX_BYTES`` bytes) — the same
+    measured-not-assumed rule the MOR winner side and the vocab
+    old-token side follow. On a 100 TB web corpus the hot n-gram set is
+    data-dependent and CAN exceed the 8 GB broadcast hard limit; the
+    fallback keeps the plan an equi-join on the same key, where AQE's
+    skew split still applies. ``mode=True/False`` forces the decision
+    (tests; callers that already measured). The persist is load-bearing
+    either way: the gate aggregate materializes the frame once and the
+    downstream join reuses it instead of recomputing the corpus scan.
+
+    ``row_bytes``: a Column estimating that row's in-memory bytes.
+    """
+    if mode is True:
+        return F.broadcast(df)
+    if mode is False:
+        return df
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(row_bytes), F.lit(0)).alias("b"),
+    ).collect()[0]  # 1-row gate aggregate, not a payload collect
+    if (
+        stats["n"] <= BROADCAST_MAX_KEY_ROWS
+        and stats["b"] <= LakeTable.MOR_BROADCAST_MAX_BYTES
+    ):
+        return F.broadcast(df)
+    return df
+
+
 def dup_spans(
     docs: DataFrame,
     n: int = 8,
     min_docs: int = 2,
     k: int = 100,
-    broadcast_hot: bool = True,
+    broadcast_hot: bool | None = None,
 ) -> DataFrame:
     """Cross-document exact duplicate n-gram spans — the fixed-width
     formulation of suffix-array ExactSubstr dedup (Lee et al. 2022,
@@ -403,9 +442,11 @@ def dup_spans(
     8-byte ``xxhash64`` of the gram; the first aggregate (map-side
     combined) counts distinct docs per HASH, and only hashes clearing
     ``min_docs`` — a set several orders of magnitude smaller than the
-    position stream on real corpora — are joined back (broadcast,
-    ``broadcast_hot=False`` for the shuffled fallback) to gate the exact
-    gram-text aggregate. A hash collision can only ADD a gram to the
+    position stream on real corpora — are joined back to gate the exact
+    gram-text aggregate. The gate side is broadcast only when its
+    MEASURED size clears the shared constants (``broadcast_hot=None``
+    auto; see :func:`_gate_broadcast`), shuffled semi-join otherwise.
+    A hash collision can only ADD a gram to the
     gated set; the final filter re-applies ``min_docs`` on the exact
     per-gram count, so the result is collision-proof. Reference scope:
     the reference dedups rows by business key (file_standardization_job
@@ -433,8 +474,7 @@ def dup_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("gram_h")
     )
-    if broadcast_hot:
-        hot = F.broadcast(hot)
+    hot = _gate_broadcast(hot, broadcast_hot, F.lit(16))
     return (
         spans.join(hot, "gram_h", "left_semi")
         .groupBy("gram")
@@ -448,41 +488,51 @@ def dup_spans(
     )
 
 
-def strip_dup_spans(
-    docs: DataFrame,
-    n: int = 8,
-    k: int = 500,
-    broadcast_hot: bool = True,
-) -> DataFrame:
-    """The corrective action behind :func:`dup_spans` (Lee et al. 2022):
-    every occurrence of a repeated n-word gram EXCEPT the corpus-global
-    first (min (doc_id, position), a total order) is masked, and each
-    affected document reports exact damage stats —
-    (doc_id, n_words, n_spans_masked, n_words_masked) where
-    ``n_words_masked`` counts the distinct word positions covered by the
-    union of that doc's masked spans (overlapping spans do not double
-    count). Top-``k`` by (n_words_masked desc, doc_id) — a total order.
+def _split_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, w: array<word>, n_words) — the shared corpus projection."""
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n_words"))
 
-    Scale shape: identical gate to :func:`dup_spans` — the per-position
-    stream carries only (doc_id, pos, hash8); repetition hotness
-    (occurrences >= 2, a plain count, cheaper than distinct-doc
-    counting) is aggregated map-side per hash, and only hot hashes
-    survive to the exact stages. Keeper election and masking then run on
-    the gated stream (orders of magnitude smaller than the corpus): one
-    row_number window over exact gram text partitions, ordered by
-    (doc_id, pos) — so a hash collision merely lets a unique gram
-    through the gate, where it ranks first in its own partition and
-    nothing is masked.
-    Per-doc coverage explodes each masked span into its n positions
-    row-locally (bounded by n) and hash-aggregates distinct positions —
-    no per-doc buffer is ever collected.
+
+def _masked_positions(
+    docs: DataFrame, n: int, broadcast_hot
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the ExactSubstr corrective ops: (base, masked)
+    where ``base`` is the word-split corpus and ``masked`` is the
+    (doc_id, n_words, pos) stream of every non-keeper occurrence of a
+    repeated n-gram. The keeper of each exact gram is its corpus-global
+    minimum (doc_id, pos) — a total order.
+
+    Scale shape, stage by stage:
+
+    - the per-position stream carries only (doc_id, pos, hash8);
+      repetition hotness (count >= 2, cheaper than distinct-doc
+      counting) is aggregated map-side per 8-byte hash, and only hot
+      hashes survive to the exact stages (semi-join, measured broadcast
+      gate — :func:`_gate_broadcast`).
+    - keeper election is TWO-PHASE, never a single-task window:
+      ``min(struct(doc_id, pos))`` partial-aggregates per partition
+      (struct min is declarative, type-generic, and orders by native
+      field order — matching the oracle's ``ORDER BY doc_id, pos`` for
+      numeric AND string doc ids) before the per-gram shuffle. An
+      ultra-hot boilerplate gram contributes ONE row per map partition,
+      not a single-task window over millions of occurrences. The struct
+      buffer plans as a map-side-combined SortAggregate (same trade as
+      the CDC ``max_by(struct)`` path) — a per-partition sort of the
+      already-gated stream, never a global one.
+    - masking joins keepers back on (gram_h, gram) and drops the one
+      row whose encoded key equals the keeper's. The keeper side is one
+      row per hot gram and goes through the same measured broadcast
+      gate; its shuffled fallback is an equi-join AQE can skew-split —
+      a plain window could not be split either way.
+    - a hash collision merely lets a unique gram through the gate; it
+      is its own keeper, so nothing is masked — collision-proof.
     """
     if n < 1:
         raise ValueError("n must be positive")
     parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
-    base = docs.select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).select("doc_id", "w", F.size("w").alias("n_words"))
+    base = _split_words(docs)
     spans = (
         base.filter(F.col("n_words") >= n)
         .select(
@@ -501,15 +551,48 @@ def strip_dup_spans(
         .filter(F.col("_n") >= 2)
         .select("gram_h")
     )
-    if broadcast_hot:
-        hot = F.broadcast(hot)
+    hot = _gate_broadcast(hot, broadcast_hot, F.lit(16))
     gated = spans.join(hot, "gram_h", "left_semi")
-    rn = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    keepers = gated.groupBy("gram_h", "gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_keeper")
+    )
+    keepers = _gate_broadcast(
+        keepers, broadcast_hot, F.octet_length("gram") + F.lit(48)
+    )
     masked = (
-        gated.withColumn("_rn", F.row_number().over(rn))
-        .filter(F.col("_rn") > 1)
+        gated.join(keepers, ["gram_h", "gram"])
+        .filter(
+            (F.col("doc_id") != F.col("_keeper.doc_id"))
+            | (F.col("pos") != F.col("_keeper.pos"))
+        )
         .select("doc_id", "n_words", "pos")
     )
+    return base, masked
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    n: int = 8,
+    k: int = 500,
+    broadcast_hot: bool | None = None,
+) -> DataFrame:
+    """The corrective action behind :func:`dup_spans` (Lee et al. 2022):
+    every occurrence of a repeated n-word gram EXCEPT the corpus-global
+    first (min (doc_id, position), a total order) is masked, and each
+    affected document reports exact damage stats —
+    (doc_id, n_words, n_spans_masked, n_words_masked) where
+    ``n_words_masked`` counts the distinct word positions covered by the
+    union of that doc's masked spans (overlapping spans do not double
+    count). Top-``k`` by (n_words_masked desc, doc_id) — a total order.
+
+    Gating, keeper election, and skew behavior: :func:`_masked_positions`.
+    Per-doc coverage explodes each masked span into its n positions
+    row-locally (bounded by n) and hash-aggregates distinct positions —
+    no per-doc buffer is ever collected. For the rewritten corpus (the
+    artifact a training pipeline consumes) see
+    :func:`strip_dup_spans_rewrite`.
+    """
+    _, masked = _masked_positions(docs, n, broadcast_hot)
     covered = masked.select(
         "doc_id",
         "n_words",
@@ -523,6 +606,60 @@ def strip_dup_spans(
             F.countDistinct("wpos").alias("n_words_masked"),
         )
         .select("doc_id", "n_words", "n_spans_masked", "n_words_masked")
+        .orderBy(F.col("n_words_masked").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def strip_dup_spans_rewrite(
+    docs: DataFrame,
+    n: int = 8,
+    k: int = 500,
+    broadcast_hot: bool | None = None,
+) -> DataFrame:
+    """The rewritten corpus from :func:`strip_dup_spans` — the actual
+    Lee-et-al corrective ACTION, not just damage stats: for every
+    affected document, the words covered by any masked (non-keeper)
+    repeated n-gram span are removed and the remainder re-joined —
+    (doc_id, n_words, n_words_masked, clean_text), top-``k`` by
+    (n_words_masked desc, doc_id) — a total order.
+
+    Scale shape on top of :func:`_masked_positions`: masked spans
+    explode into word positions ROW-LOCALLY (bounded by n) and
+    hash-aggregate into one position-set row per affected doc
+    (``collect_set`` bounded by that doc's own length — never a
+    corpus-wide buffer). That per-doc mask frame — affected docs only,
+    orders of magnitude smaller than the corpus — joins back to the
+    word-split corpus through the same measured broadcast gate, and the
+    rewrite itself is one row-local ``filter(w, (x, i) -> NOT
+    array_contains(mask, i))`` projection: no shuffle touches document
+    payloads when the mask side broadcasts. Unaffected documents are
+    untouched by construction (inner join); a full-corpus emit is the
+    caller's ``docs.join(this, "doc_id", "left")`` +
+    ``coalesce(clean_text, text)``.
+    """
+    base, masked = _masked_positions(docs, n, broadcast_hot)
+    masks = (
+        masked.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("wpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("wpos").alias("mask"))
+    )
+    masks = _gate_broadcast(
+        masks, broadcast_hot, F.size("mask") * 16 + F.lit(32)
+    )
+    return (
+        base.join(masks, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("mask").cast("long").alias("n_words_masked"),
+            F.expr(
+                "concat_ws(' ', filter(w, (x, i) -> NOT array_contains(mask, i)))"
+            ).alias("clean_text"),
+        )
         .orderBy(F.col("n_words_masked").desc(), F.col("doc_id"))
         .limit(k)
     )

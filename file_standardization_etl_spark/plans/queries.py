@@ -416,38 +416,44 @@ QUERIES.update(TIME_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(PROFILE_QUERIES)
 
-# Driver-coverage rotation: the per-round driver CORRECTNESS artifact has
-# covered a PREFIX of this registry (r01-r02: 43 entries, r03: the first
-# 50 of 69), so the entries that have never had a driver ledger row come
-# first. The rotated-back core keeps its gates either way — every entry
-# here also runs under `python tools/check_oracle.py` (the identical
-# rows/schema/value-hash comparison) and the pytest suite.
+# Driver-coverage rotation: the per-round driver CORRECTNESS artifact caps
+# at 50 rows, so entries are ordered by ledger staleness — round 5 fronts
+# (a) entries new this round, (b) the two r4 hash-red entries whose oracle
+# SQL was fixed (HUGEINT casts), and (c) the 23 core entries whose only
+# green row is r03. Everything with a green r04 row rotates back. The
+# rotated-back core keeps its gates either way — every entry also runs
+# under `python tools/check_oracle.py` (rows/cols/exact values/type
+# families, stricter than the driver hash) and the pytest suite.
 _DRIVER_PRIORITY = [
-    # round-3 tranches absent from CORRECTNESS_r03.json
-    "tokens_chunk_windows",
-    "tokens_vocab_topk",
-    "tokens_hash_split",
-    "tokens_contamination",
-    "tokens_clean_train",
-    "tokens_pack_examples",
-    "ann_pq_adc_topk",
-    "dedup_semantic",
-    "corpus_curation_funnel",
-    "join_asof",
-    "join_range_bucketed",
+    # round-5 additions (never driver-covered by construction)
+    "tokens_strip_dup_spans_rewrite",
+    # r4 hash-red, oracle SQL fixed this round — must show green in r05
     "window_sessionize",
     "agg_time_rollup",
-    "tokens_stratified_sample",
-    "text_inverted_index",
-    "agg_percentiles",
-    "window_topn_per_key",
-    "agg_histogram",
-    "text_bigrams",
-    # round-4 additions (never driver-covered by construction)
-    "agg_percentiles_sketch",
-    "join_stream_interval",
-    "tokens_dup_spans",
-    "tokens_strip_dup_spans",
+    # core entries whose only driver row is r03
+    "text_tokens",
+    "text_fingerprint",
+    "text_repetition",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "source_grid_standardize",
+    "grid_attribute_map",
+    "ann_ivf_topk",
+    "ann_kmeans_centroids",
+    "ann_ivf_kmeans_topk",
+    "filter_junk_rows",
+    "join_scalar_subquery",
+    "agg_global_scalars",
+    "agg_null_profile",
+    "order_topk",
+    "dedup_embedding_cosine",
+    "source_csv_roundtrip",
+    "join_entity_cascade",
+    "dedup_cluster_cc",
+    "dedup_cluster_keepers",
+    "tokens_shard_order",
+    "tokens_mixture_weights",
+    "tokens_pack_payload",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_PRIORITY if k in QUERIES},

@@ -367,3 +367,69 @@ TOKEN_QUERIES["tokens_strip_dup_spans"] = (
     q_tokens_strip_dup_spans,
     SQL_TOKENS_STRIP_SPANS,
 )
+
+
+def q_tokens_strip_dup_spans_rewrite(spark, sf_dir):
+    """The rewritten corpus (the Lee-et-al corrective ACTION a training
+    pipeline consumes): affected docs with masked-span words removed and
+    the remainder re-joined. Same hash gate + two-phase keeper election
+    as tokens_strip_dup_spans; per-doc masks hash-aggregate row-bounded
+    position sets, the rewrite is one row-local array filter."""
+    return tokenize.strip_dup_spans_rewrite(
+        load(spark, sf_dir, "documents"), n=6, k=500
+    )
+
+
+# Positions 0-based in Spark, 1-based here — internal only (keeper order,
+# span geometry, and word membership are translation-invariant). The
+# rebuild re-explodes affected docs' words with positions, anti-joins the
+# covered set, and string_aggs back in position order; a fully-masked doc
+# yields '' on both engines (Spark: filter -> empty array -> concat_ws;
+# here: no kept rows -> COALESCE). (n_words_masked DESC, doc_id) is a
+# total order — doc_id is unique.
+SQL_TOKENS_STRIP_SPANS_REWRITE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), b AS (
+  SELECT doc_id, w, len(w) AS n_words FROM t
+), g AS (
+  SELECT doc_id, n_words, s AS pos,
+         array_to_string(list_slice(w, s, s + 5), ' ') AS gram
+  FROM (
+    SELECT doc_id, n_words, w, unnest(range(1, n_words - 4)) AS s
+    FROM b WHERE n_words >= 6
+  )
+), rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), mk AS (
+  SELECT g.doc_id, g.n_words, g.pos,
+         ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+  FROM g JOIN rep USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, n_words, wpos FROM (
+    SELECT doc_id, n_words, unnest(range(pos, pos + 6)) AS wpos
+    FROM mk WHERE rn > 1
+  )
+), stats AS (
+  SELECT doc_id, n_words, CAST(COUNT(*) AS BIGINT) AS n_words_masked
+  FROM cov GROUP BY doc_id, n_words
+), wp AS (
+  SELECT doc_id, unnest(range(1, n_words + 1)) AS wpos, unnest(w) AS word
+  FROM (SELECT b.doc_id, b.w, b.n_words FROM b JOIN stats USING (doc_id))
+), kept AS (
+  SELECT wp.doc_id, wp.wpos, wp.word
+  FROM wp ANTI JOIN cov ON wp.doc_id = cov.doc_id AND wp.wpos = cov.wpos
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_words AS INT) AS n_words, s.n_words_masked,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM stats s LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY n_words_masked DESC, s.doc_id LIMIT 500
+"""
+
+TOKEN_QUERIES["tokens_strip_dup_spans_rewrite"] = (
+    q_tokens_strip_dup_spans_rewrite,
+    SQL_TOKENS_STRIP_SPANS_REWRITE,
+)

@@ -225,7 +225,14 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
     # exchange, where a bare spark_partition_id() call would evaluate to
     # the REDUCER partition id (duplicating or nulling LSNs for any
     # multi-partition input) instead of the scan partition the offsets
-    # map was built from.
+    # map was built from. withColumn silently REPLACES an existing column,
+    # so a caller-supplied _pid would corrupt the offsets map without any
+    # error — refuse it instead.
+    if "_pid" in docs.columns:
+        raise ValueError(
+            "documents_as_change_events: input already has a '_pid' column "
+            "(reserved for the internal scan-partition id); rename it first"
+        )
     docs = docs.withColumn("_pid", F.spark_partition_id())
     counts = sorted(
         (r["_pid"], r["n"])

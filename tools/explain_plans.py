@@ -72,6 +72,12 @@ AUDIT = {
         "BroadcastHashJoin",
         "HashAggregate",
         "TakeOrderedAndProject",
+        "SortAggregate",  # two-phase keeper election: min(struct) partials
+    ],
+    "tokens_strip_dup_spans_rewrite": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "TakeOrderedAndProject",
     ],
     # repetition profile: both levels (doc,gram counts; per-doc rollup)
     # must hash-aggregate with map-side partials
@@ -113,6 +119,76 @@ AUDIT = {
     # stream-interval batch twin: must plan as an equi-join on the key
     # with the interval as a post-join filter, never a BNLJ
     "join_stream_interval": ["Join"],
+    # --- round-5 extension: every registry entry is audited (main()
+    # fails on a registry entry missing here). Map-only column batteries
+    # must stay single-codegen projections (Exchange forbidden below);
+    # joins assert their broadcast/equi shape; aggs assert hash-based
+    # partials. ---
+    "text_tokens": ["Project"],
+    "text_fingerprint": ["Project"],
+    "text_quality": ["Project"],
+    "text_langid": ["Project"],
+    "scalar_strings": ["Project"],
+    "scalar_numeric": ["Project", "Filter"],
+    "dedup_simhash": ["Project"],
+    "explode_multivalue": ["Generate"],
+    "fixed_width_parse": ["Project", "Filter"],
+    "filter_junk_rows": ["Filter"],
+    "source_grid_standardize": ["Filter", "Project"],
+    # Arrow-batched multimodal plumbing: MapInPandas is the sanctioned
+    # executor-Python node here (schema'd batch kernels), never
+    # row-at-a-time BatchEvalPython (globally forbidden)
+    "multimodal_decode": ["MapInPandas", "HashAggregate"],
+    "multimodal_frame_sample": ["MapInPandas", "Generate", "HashAggregate"],
+    "grid_attribute_map": ["Window", "Project"],
+    # IVF probe: rank-limit pushed into the window (WindowGroupLimit),
+    # centroid side is the intentional tiny-array broadcast
+    "ann_ivf_topk": ["WindowGroupLimit", "Window"],
+    "agg_global_scalars": ["HashAggregate"],
+    "agg_null_profile": ["HashAggregate", "Exchange"],
+    "source_csv_roundtrip": ["Scan csv"],
+    # registry entry reads the MATERIALIZED labels (the iterative
+    # superstep plan is audited separately in the cc_superstep section)
+    "dedup_cluster_cc": ["Project"],
+    "dedup_cluster_keepers": ["BroadcastHashJoin", "HashAggregate"],
+    "tokens_shard_order": ["Window"],
+    "tokens_pack_payload": ["ObjectHashAggregate", "Window"],
+    "tokens_hash_split": ["Project"],
+    "tokens_clean_train": ["BroadcastHashJoin", "HashAggregate"],
+    # LWW replay state: max_by(struct) partial+final (same trade as
+    # cdc_lww_state); all-primitive variants live in cdc/apply.py
+    "cdc_replay_state": ["SortAggregate", "Exchange"],
+    "cdc_validate_split": ["HashAggregate"],
+    "join_derived_key": ["BroadcastHashJoin"],
+    "join_fallback_cascade": ["Union", "Window"],
+    "setop_symdiff": ["Union", "HashAggregate"],
+    "window_dedup_rank": ["Window"],
+    "dedup_exact": ["HashAggregate", "Exchange"],
+    "dedup_ngram_jaccard": ["BroadcastHashJoin", "HashAggregate"],
+    "dedup_simhash_wide_pairs": ["BroadcastHashJoin", "HashAggregate"],
+    "ann_lsh_pairs": ["BroadcastHashJoin"],
+}
+
+# Queries whose plan must show a NON-EMPTY PushedFilters on at least one
+# scan (generic pushdown evidence; the AUDIT needles above pin specific
+# predicates where they are stable).
+PUSHDOWN_REQUIRED = {
+    "source_grid_standardize",
+    "grid_attribute_map",
+    "filter_junk_rows",
+    "agg_global_scalars",
+    "dedup_cluster_keepers",
+    "join_derived_key",
+    "join_fallback_cascade",
+    "setop_symdiff",
+    "window_dedup_rank",
+    "scalar_numeric",
+    "fixed_width_parse",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_wide_pairs",
+    "ann_lsh_pairs",
+    "tokens_clean_train",
+    "ann_ivf_topk",
 }
 
 FORBIDDEN = ["BatchEvalPython", "ArrowEvalPython"]  # no Python in analytic plans
@@ -146,6 +222,14 @@ PER_QUERY_FORBIDDEN = {
         "BroadcastNestedLoopJoin",
         "SortAggregate",
     ],
+    # the strip variants share the gate but NOT the SortAggregate ban —
+    # their two-phase keeper election (min over a struct buffer) plans
+    # as a map-side-combined SortAggregate by design
+    "tokens_strip_dup_spans": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "tokens_strip_dup_spans_rewrite": [
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ],
     # the gram-count aggregate must never sort (a SortAggregate here
     # would mean per-doc gram sorting crept into the hot two-level agg)
     "text_repetition": ["SortAggregate", "CartesianProduct"],
@@ -173,6 +257,40 @@ PER_QUERY_FORBIDDEN = {
     # distinct-value frame may sort, and nothing may plan a cartesian
     "agg_percentiles_sketch": ["SortAggregate", "CartesianProduct"],
     "join_stream_interval": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # map-only column batteries: any Exchange means a shuffle crept into
+    # a stateless projection (the 100 TB shape is "scan, project, write")
+    "text_tokens": ["Exchange"],
+    "text_fingerprint": ["Exchange"],
+    "text_quality": ["Exchange"],
+    "text_langid": ["Exchange"],
+    "scalar_strings": ["Exchange"],
+    "scalar_numeric": ["Exchange"],
+    "dedup_simhash": ["Exchange"],
+    "explode_multivalue": ["Exchange"],
+    "fixed_width_parse": ["Exchange"],
+    "filter_junk_rows": ["Exchange"],
+    "source_grid_standardize": ["Exchange"],
+    # join-shape guards: candidate generation stays equi-join only
+    "dedup_exact": ["SortAggregate", "CartesianProduct"],
+    "dedup_ngram_jaccard": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "dedup_simhash_wide_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "ann_lsh_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "dedup_cluster_keepers": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "join_derived_key": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "join_fallback_cascade": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "setop_symdiff": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "window_dedup_rank": ["CartesianProduct"],
+    "tokens_clean_train": ["CartesianProduct"],
+    "agg_null_profile": ["SortAggregate", "CartesianProduct"],
+    "agg_global_scalars": ["CartesianProduct"],
+    "cdc_validate_split": ["CartesianProduct"],
+    "cdc_replay_state": ["CartesianProduct"],
+    "tokens_shard_order": ["CartesianProduct"],
+    "tokens_pack_payload": ["CartesianProduct"],
+    # IVF probe inherits the k-means no-sort rule (the BNLJ present is
+    # the intentional 1-row centroid-array broadcast, so it stays out
+    # of this list)
+    "ann_ivf_topk": ["CartesianProduct", "SortAggregate"],
 }
 
 
@@ -189,6 +307,19 @@ def main() -> int:
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     failures = []
     sections = []
+    # the audit is only a tripwire if it covers the whole registry: a new
+    # registry entry without an AUDIT row fails here until one is written
+    missing_audit = sorted(set(QUERIES) - set(AUDIT))
+    if missing_audit:
+        failures.append(
+            "registry entries missing from AUDIT: " + ", ".join(missing_audit)
+        )
+    stray = sorted(set(PER_QUERY_FORBIDDEN) - set(AUDIT))
+    if stray:
+        failures.append(
+            "PER_QUERY_FORBIDDEN names never audited (dead guards): "
+            + ", ".join(stray)
+        )
     for name, needles in AUDIT.items():
         fn, _ = QUERIES[name]
         df = fn(spark, SF)
@@ -202,6 +333,10 @@ def main() -> int:
         for bad in PER_QUERY_FORBIDDEN.get(name, []):
             if bad in plan:
                 failures.append(f"{name}: forbidden plan node `{bad}` (scale regression)")
+        if name in PUSHDOWN_REQUIRED and not re.search(
+            r"PushedFilters: \[[^\]]", plan
+        ):
+            failures.append(f"{name}: no non-empty PushedFilters reached a scan")
         widths = read_schema_width(plan)
         sections.append((name, needles, widths, plan))
 

@@ -49,6 +49,17 @@ def get_spark(
         # MERGE writes many small per-bucket files per micro-batch
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # a resident engine compiles thousands of whole-stage-codegen
+        # classes (one per stage per query); JDK 17's default 240 MB
+        # ReservedCodeCacheSize fills after a few hundred stages and the
+        # JIT then runs expression-heavy codegen interpreted/recompiling
+        # (measured: the 54-format date battery at 2.7 s steady-state in
+        # a fresh JVM degrades to 6.5-7 s late in a long bench session).
+        # Applies at JVM launch only — i.e. to the process's FIRST session
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -402,6 +402,13 @@ def _gate_broadcast(df: DataFrame, mode, row_bytes):
     either way: the gate aggregate materializes the frame once and the
     downstream join reuses it instead of recomputing the corpus scan.
 
+    Cache lifetime: persisted gate frames are tracked in a bounded FIFO
+    (``_GATE_CACHE_MAX`` most recent); older ones are unpersisted
+    automatically so a resident session running many gated queries does
+    not accumulate block-store entries without bound — an evicted frame
+    that a still-pending plan references is simply recomputed.
+    ``clear_gate_caches()`` drops them all eagerly.
+
     ``row_bytes``: a Column estimating that row's in-memory bytes.
     """
     if mode is True:
@@ -411,6 +418,9 @@ def _gate_broadcast(df: DataFrame, mode, row_bytes):
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _GATE_CACHE.append(df)
+    while len(_GATE_CACHE) > _GATE_CACHE_MAX:
+        _GATE_CACHE.pop(0).unpersist()
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(row_bytes), F.lit(0)).alias("b"),
@@ -421,6 +431,20 @@ def _gate_broadcast(df: DataFrame, mode, row_bytes):
     ):
         return F.broadcast(df)
     return df
+
+
+# Bounded FIFO of frames persisted by _gate_broadcast. The bound matters
+# most for the frames that FAILED the gate (the big ones, shuffled path):
+# without it a resident session would pin every one of them to
+# memory+disk for the JVM's life.
+_GATE_CACHE: list[DataFrame] = []
+_GATE_CACHE_MAX = 8
+
+
+def clear_gate_caches() -> None:
+    """Unpersist every gate frame _gate_broadcast is still holding."""
+    while _GATE_CACHE:
+        _GATE_CACHE.pop().unpersist()
 
 
 def dup_spans(

@@ -320,7 +320,15 @@ def main() -> int:
             "PER_QUERY_FORBIDDEN names never audited (dead guards): "
             + ", ".join(stray)
         )
+    stale = sorted(set(AUDIT) - set(QUERIES))
+    if stale:
+        failures.append(
+            "AUDIT rows for entries no longer in the registry: "
+            + ", ".join(stale)
+        )
     for name, needles in AUDIT.items():
+        if name not in QUERIES:  # already reported above; keep auditing
+            continue
         fn, _ = QUERIES[name]
         df = fn(spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")

@@ -61,6 +61,36 @@ HEADLINE_QUERIES = [
 ]
 
 
+def jit_code_cache_stats(spark) -> dict:
+    """JIT code-cache occupancy of the bench JVM via `jcmd
+    Compiler.codecache` — self-diagnostic for the exhaustion mode fixed
+    in round 5 (default 240 MB cache filling late-session and degrading
+    codegen-heavy queries 2.4x). Best-effort: absent jcmd -> {}."""
+    import re as _re
+    import subprocess
+
+    try:
+        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        out = subprocess.run(
+            ["jcmd", str(pid), "Compiler.codecache"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+        heaps = {
+            m.group(1): {"size_kb": int(m.group(2)), "used_kb": int(m.group(3))}
+            for m in _re.finditer(
+                r"CodeHeap '([^']+)': size=(\d+)Kb used=(\d+)Kb", out
+            )
+        }
+        full = _re.search(r"full_count=(\d+)", out)
+        return {
+            "heaps": heaps,
+            "full_count": int(full.group(1)) if full else None,
+            "compilation_enabled": "compilation: enabled" in out,
+        }
+    except Exception:
+        return {}
+
+
 def run_hw_control(spark, sf_dir: str) -> dict:
     """Bare scan+agg over the benchmark's own parquet — ZERO engine code.
     The box's documented contention swing is up to 5x; this probe makes
@@ -890,6 +920,7 @@ def main():
         query_runs.update(runs)
     hw_end = run_hw_control(spark, sf_dir)
     hw_control = {"start": hw_start, "end": hw_end}
+    code_cache = jit_code_cache_stats(spark)
     total = round(time.time() - t_total, 2)
     # Full detail goes to a repo file; stdout gets ONE COMPACT line.
     # r03's line outgrew the driver's stdout-tail window (BENCH_r03.json
@@ -905,6 +936,7 @@ def main():
         "cdc": cdc,
         "cpus": cpus,
         "hw_control": hw_control,
+        "jit_code_cache": code_cache,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -58,6 +58,7 @@ HEADLINE_QUERIES = [
     "tokens_dup_spans",
     "tokens_strip_dup_spans",
     "tokens_strip_dup_spans_rewrite",
+    "tokens_token_span_rewrite",
 ]
 
 

@@ -553,10 +553,25 @@ def _masked_positions(
     - a hash collision merely lets a unique gram through the gate; it
       is its own keeper, so nothing is masked — collision-proof.
     """
+    base = _split_words(docs)
+    return base, _masked_positions_core(base, n, broadcast_hot, sep=" ")
+
+
+def _masked_positions_core(
+    base: DataFrame, n: int, broadcast_hot, sep: str = " "
+) -> DataFrame:
+    """Element-type-agnostic core of :func:`_masked_positions`: ``base``
+    is any (doc_id, w: array<string>, n_words) frame (space-split words,
+    or token ids cast to string) and the returned frame is the masked
+    (doc_id, n_words, pos) stream. Grams are ``sep``-joined slices —
+    injective as long as elements cannot contain ``sep`` (space-split
+    words cannot contain a space; token ids contain no separator), so
+    gram identity equals slice identity. All scale properties (hash
+    gate, two-phase keeper election, measured broadcasts) documented on
+    the caller."""
     if n < 1:
         raise ValueError("n must be positive")
     parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
-    base = _split_words(docs)
     spans = (
         base.filter(F.col("n_words") >= n)
         .select(
@@ -564,7 +579,7 @@ def _masked_positions(
             "n_words",
             F.posexplode(
                 F.expr(f"transform(sequence(1, size(w) - {n - 1}),"
-                       f" i -> concat_ws(' ', {parts}))")
+                       f" i -> concat_ws('{sep}', {parts}))")
             ).alias("pos", "gram"),
         )
         .select("doc_id", "n_words", "pos", "gram", F.xxhash64("gram").alias("gram_h"))
@@ -591,7 +606,7 @@ def _masked_positions(
         )
         .select("doc_id", "n_words", "pos")
     )
-    return base, masked
+    return masked
 
 
 def strip_dup_spans(
@@ -663,17 +678,7 @@ def strip_dup_spans_rewrite(
     ``coalesce(clean_text, text)``.
     """
     base, masked = _masked_positions(docs, n, broadcast_hot)
-    masks = (
-        masked.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("wpos"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("wpos").alias("mask"))
-    )
-    masks = _gate_broadcast(
-        masks, broadcast_hot, F.size("mask") * 16 + F.lit(32)
-    )
+    masks = _position_masks(masked, n, broadcast_hot)
     return (
         base.join(masks, "doc_id")
         .select(
@@ -685,5 +690,73 @@ def strip_dup_spans_rewrite(
             ).alias("clean_text"),
         )
         .orderBy(F.col("n_words_masked").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def _position_masks(masked: DataFrame, n: int, broadcast_hot) -> DataFrame:
+    """(doc_id, mask: array<int>) — distinct word positions covered by a
+    doc's masked spans, one row per AFFECTED doc. The span→position
+    explode is row-local (bounded by n); ``collect_set`` is bounded by
+    that doc's own length, never a corpus-wide buffer; the result goes
+    through the measured broadcast gate."""
+    masks = (
+        masked.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("wpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("wpos").alias("mask"))
+    )
+    return _gate_broadcast(
+        masks, broadcast_hot, F.size("mask") * 16 + F.lit(32)
+    )
+
+
+def strip_dup_token_spans_rewrite(
+    df: DataFrame,
+    col: str = "tokens",
+    n: int = 8,
+    k: int = 500,
+    broadcast_hot: bool | None = None,
+) -> DataFrame:
+    """:func:`strip_dup_spans_rewrite` in the engine's NATIVE payload
+    domain — a token-array column (the north rule's `(doc_id,
+    tokens: array<int>, …)` lake rows) instead of whitespace text:
+    every non-keeper occurrence of a repeated n-TOKEN span is masked and
+    affected rows come back as (doc_id, n_tok, n_tok_masked,
+    clean_tokens) with the array element type preserved, top-``k`` by
+    (n_tok_masked desc, doc_id). Feeding ``clean_tokens`` back as CDC
+    update events (next LSNs) turns this into the lake table's
+    corrective maintenance op — see tests/test_cdc_dedup_correct.py for
+    the end-to-end loop through the exactly-once merge.
+
+    Same scale shape as the text variant (:func:`_masked_positions_core`
+    — hash-gated position stream, two-phase keeper election, measured
+    broadcasts): grams are ':'-joined string casts of the token slice,
+    injective because token renderings contain no ':'; the rebuild
+    filters the ORIGINAL typed array row-locally, so payloads are never
+    shuffled when the mask side broadcasts.
+    """
+    base = df.select(
+        "doc_id",
+        F.col(col).alias("_toks"),
+        F.expr(f"transform({col}, x -> cast(x as string))").alias("w"),
+    ).select("doc_id", "_toks", "w", F.size("w").alias("n_words"))
+    masked = _masked_positions_core(
+        base.select("doc_id", "w", "n_words"), n, broadcast_hot, sep=":"
+    )
+    masks = _position_masks(masked, n, broadcast_hot)
+    return (
+        base.join(masks, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").alias("n_tok"),
+            F.size("mask").cast("long").alias("n_tok_masked"),
+            F.expr(
+                "filter(_toks, (x, i) -> NOT array_contains(mask, i))"
+            ).alias("clean_tokens"),
+        )
+        .orderBy(F.col("n_tok_masked").desc(), F.col("doc_id"))
         .limit(k)
     )

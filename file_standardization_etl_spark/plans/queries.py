@@ -427,6 +427,7 @@ QUERIES.update(PROFILE_QUERIES)
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-covered by construction)
     "tokens_strip_dup_spans_rewrite",
+    "tokens_token_span_rewrite",
     # r4 hash-red, oracle SQL fixed this round — must show green in r05
     "window_sessionize",
     "agg_time_rollup",

@@ -13,6 +13,8 @@ then-cast can never disagree.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import tokenize
 from .queries import load
 
@@ -432,4 +434,78 @@ ORDER BY n_words_masked DESC, s.doc_id LIMIT 500
 TOKEN_QUERIES["tokens_strip_dup_spans_rewrite"] = (
     q_tokens_strip_dup_spans_rewrite,
     SQL_TOKENS_STRIP_SPANS_REWRITE,
+)
+
+
+def q_tokens_token_span_rewrite(spark, sf_dir):
+    """The corrective rewrite in the engine's NATIVE payload domain — a
+    token-ARRAY column instead of whitespace text (the same function the
+    CDC corrective loop applies to the lake table's own state,
+    tests/test_cdc_dedup_correct.py): repeated n-token spans masked
+    (two-phase keeper election), affected rows rebuilt by a row-local
+    typed-array filter. Token ids are the engine-portable md5 mapping,
+    so the oracle applies the identical mapping; clean arrays compare as
+    space-joined strings."""
+    t = tokenize.tokenized(load(spark, sf_dir, "documents"))
+    out = tokenize.strip_dup_token_spans_rewrite(t, col="toks", n=6, k=500)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_tok_masked",
+        F.concat_ws(" ", "clean_tokens").alias("clean_tokens_str"),
+    )
+
+
+# Same shape as SQL_TOKENS_STRIP_SPANS_REWRITE but over the md5 token-id
+# array (list_transform == tokenize.tokenized's TOKEN expr) with
+# ':'-joined grams — gram identity equals token-slice identity because
+# the 8-hex ids contain no ':'.
+SQL_TOKENS_TOKEN_SPAN_REWRITE = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> substring(md5(x), 1, 8)) AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, w, len(w) AS n_words FROM t
+), g AS (
+  SELECT doc_id, n_words, s AS pos,
+         array_to_string(list_slice(w, s, s + 5), ':') AS gram
+  FROM (
+    SELECT doc_id, n_words, w, unnest(range(1, n_words - 4)) AS s
+    FROM b WHERE n_words >= 6
+  )
+), rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), mk AS (
+  SELECT g.doc_id, g.n_words, g.pos,
+         ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+  FROM g JOIN rep USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, n_words, wpos FROM (
+    SELECT doc_id, n_words, unnest(range(pos, pos + 6)) AS wpos
+    FROM mk WHERE rn > 1
+  )
+), stats AS (
+  SELECT doc_id, n_words, CAST(COUNT(*) AS BIGINT) AS n_tok_masked
+  FROM cov GROUP BY doc_id, n_words
+), wp AS (
+  SELECT doc_id, unnest(range(1, n_words + 1)) AS wpos, unnest(w) AS word
+  FROM (SELECT b.doc_id, b.w, b.n_words FROM b JOIN stats USING (doc_id))
+), kept AS (
+  SELECT wp.doc_id, wp.wpos, wp.word
+  FROM wp ANTI JOIN cov ON wp.doc_id = cov.doc_id AND wp.wpos = cov.wpos
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_tokens_str
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_words AS INT) AS n_tok, s.n_tok_masked,
+       COALESCE(r.clean_tokens_str, '') AS clean_tokens_str
+FROM stats s LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY n_tok_masked DESC, s.doc_id LIMIT 500
+"""
+
+TOKEN_QUERIES["tokens_token_span_rewrite"] = (
+    q_tokens_token_span_rewrite,
+    SQL_TOKENS_TOKEN_SPAN_REWRITE,
 )

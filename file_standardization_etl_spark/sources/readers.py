@@ -220,6 +220,30 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
             F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50_257
         ).cast("int"),
     )
+    numbered = assign_partition_parallel_lsns(docs, lsn_start)
+    return numbered.select(
+        "lsn",
+        F.lit("insert").alias("op"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        F.col("source").alias("source"),
+        F.lit(None).cast("string").alias("schema_change"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def assign_partition_parallel_lsns(
+    df: DataFrame, lsn_start: int = 1, order_col: str = "doc_id"
+) -> DataFrame:
+    """Add a unique, contiguous ``lsn`` column starting at ``lsn_start``,
+    partition-parallel: per-partition row counts (one narrow pass) become
+    cumulative offsets, and each partition numbers its own rows under a
+    partition-local window — no global single-partition row_number, so
+    numbering a 10^10-row frame runs as fast as the scan itself. The
+    LSN→row mapping depends on the input partitioning (contract: any
+    total order is a valid WAL).
+    """
     # _pid must be MATERIALIZED as a column at the scan stage: both the
     # window and the offset lookup sit downstream of the window's shuffle
     # exchange, where a bare spark_partition_id() call would evaluate to
@@ -228,15 +252,17 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
     # map was built from. withColumn silently REPLACES an existing column,
     # so a caller-supplied _pid would corrupt the offsets map without any
     # error — refuse it instead.
-    if "_pid" in docs.columns:
+    if "_pid" in df.columns:
         raise ValueError(
-            "documents_as_change_events: input already has a '_pid' column "
-            "(reserved for the internal scan-partition id); rename it first"
+            "assign_partition_parallel_lsns: input already has a '_pid' "
+            "column (reserved for the internal scan-partition id); rename "
+            "it first"
         )
-    docs = docs.withColumn("_pid", F.spark_partition_id())
+    cols = df.columns
+    df = df.withColumn("_pid", F.spark_partition_id())
     counts = sorted(
         (r["_pid"], r["n"])
-        for r in docs.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in df.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     offsets, base = [], 0
     for pid, n in counts:
@@ -263,14 +289,52 @@ def documents_as_change_events(docs: DataFrame, lsn_start: int = 1) -> DataFrame
             )
         ),
     ) if offsets else F.lit(0)
-    w = Window.partitionBy("_pid").orderBy("doc_id")
-    return docs.select(
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return df.select(
         (F.lit(lsn_start) + off + F.row_number().over(w) - 1).alias("lsn"),
-        F.lit("insert").alias("op"),
-        F.col("doc_id").cast("string").alias("doc_id"),
-        tokens.alias("tokens"),
-        F.size(words).cast("int").alias("n_tok"),
-        F.col("source").alias("source"),
+        *cols,
+    )
+
+
+def rewrites_as_update_events(
+    rewrite: DataFrame, state: DataFrame, lsn_start: int
+) -> DataFrame:
+    """Close the corrective loop: turn
+    :func:`~file_standardization_etl_spark.operators.tokenize.strip_dup_token_spans_rewrite`
+    output — (doc_id, n_tok, n_tok_masked, clean_tokens) computed over
+    the lake table's OWN state — into ordinary change events the engine
+    applies through the same exactly-once, LWW, quarantine-validated
+    merge as any upstream CDC feed (``lsn_start`` must be above the
+    applied watermark, e.g. ``engine.applied_lsn() + 1``).
+
+    A doc whose every token was masked (fully duplicated content) comes
+    back as a DELETE event — the Lee-et-al corrective action drops empty
+    documents rather than committing zero-length token arrays (which the
+    validator would quarantine as ``empty_tokens``). ``source`` is
+    carried over from the current state row so the source-whitelist
+    check keeps passing; the join is keyed on doc_id with the small
+    rewrite side broadcast-eligible, and LSNs are assigned with the same
+    partition-parallel numbering as the WAL bridge.
+    """
+    src = state.select(F.col("doc_id").cast("string").alias("doc_id"), "source")
+    base = (
+        rewrite.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("clean_tokens").alias("tokens"),
+        )
+        .join(src, "doc_id")
+    )
+    numbered = assign_partition_parallel_lsns(base, lsn_start)
+    empty = F.size("tokens") == 0
+    return numbered.select(
+        "lsn",
+        F.when(empty, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        "doc_id",
+        F.when(empty, F.lit(None)).otherwise(F.col("tokens")).alias("tokens"),
+        F.when(empty, F.lit(None).cast("int"))
+        .otherwise(F.size("tokens").cast("int"))
+        .alias("n_tok"),
+        "source",
         F.lit(None).cast("string").alias("schema_change"),
         F.lit(None).cast("timestamp").alias("ts"),
     )

@@ -79,6 +79,11 @@ AUDIT = {
         "HashAggregate",
         "TakeOrderedAndProject",
     ],
+    "tokens_token_span_rewrite": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+    ],
     # repetition profile: both levels (doc,gram counts; per-doc rollup)
     # must hash-aggregate with map-side partials
     "text_repetition": ["HashAggregate", "Exchange"],
@@ -227,6 +232,10 @@ PER_QUERY_FORBIDDEN = {
     # as a map-side-combined SortAggregate by design
     "tokens_strip_dup_spans": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "tokens_strip_dup_spans_rewrite": [
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ],
+    "tokens_token_span_rewrite": [
         "CartesianProduct",
         "BroadcastNestedLoopJoin",
     ],

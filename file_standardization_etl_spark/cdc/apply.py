@@ -528,6 +528,32 @@ class CdcEngine:
             raise ValueError("engine was created with maintain_vocab=False")
         return self._vocab.counts()
 
+    def dedup_correct_events(self, n: int = 8, k: int | None = None) -> DataFrame:
+        """Corrective change events for cross-document duplicated
+        n-TOKEN spans in the CURRENT live state (ExactSubstr, Lee et
+        al. 2022): every non-keeper occurrence masked, affected rows
+        emitted as UPDATE events carrying the cleaned token array (or
+        DELETE when fully masked), with partition-parallel LSNs starting
+        at ``applied_lsn() + 1``. Apply the result through
+        :meth:`apply_batch` — corrections re-enter through the same
+        exactly-once / LWW / quarantine / lineage merge as any upstream
+        feed (jobs/maintain.py ``--dedup-correct N`` persists the
+        segment first, the durable-WAL shape). Columns are resolved by
+        stable field id, so a rename DDL cannot misalign the payload.
+        ``k`` bounds output to the top-k most-damaged docs (None = all
+        affected rows, unordered — the maintenance shape)."""
+        from ..operators.tokenize import strip_dup_token_spans_rewrite
+        from ..sources.readers import rewrites_as_update_events
+
+        names = self._names()
+        state = self.state().select(
+            F.col(names[FID_DOC]).alias("doc_id"),
+            F.col(names[FID_TOKENS]).alias("tokens"),
+            F.col(names[FID_SOURCE]).alias("source"),
+        )
+        rewrite = strip_dup_token_spans_rewrite(state, col="tokens", n=n, k=k)
+        return rewrites_as_update_events(rewrite, state, self.applied_lsn() + 1)
+
     def quarantine(self) -> DataFrame:
         # Existence-gated like the staging reads (ADVICE r1): an absent
         # tree means "nothing quarantined yet"; a real read failure on an

@@ -717,7 +717,7 @@ def strip_dup_token_spans_rewrite(
     df: DataFrame,
     col: str = "tokens",
     n: int = 8,
-    k: int = 500,
+    k: int | None = 500,
     broadcast_hot: bool | None = None,
 ) -> DataFrame:
     """:func:`strip_dup_spans_rewrite` in the engine's NATIVE payload
@@ -726,10 +726,14 @@ def strip_dup_token_spans_rewrite(
     every non-keeper occurrence of a repeated n-TOKEN span is masked and
     affected rows come back as (doc_id, n_tok, n_tok_masked,
     clean_tokens) with the array element type preserved, top-``k`` by
-    (n_tok_masked desc, doc_id). Feeding ``clean_tokens`` back as CDC
-    update events (next LSNs) turns this into the lake table's
-    corrective maintenance op — see tests/test_cdc_dedup_correct.py for
-    the end-to-end loop through the exactly-once merge.
+    (n_tok_masked desc, doc_id). ``k=None`` returns EVERY affected row
+    unordered — the maintenance-pass shape (`CdcEngine.
+    dedup_correct_events`), where a global top-k sort of a 100 TB
+    table's corrections would be pure waste. Feeding ``clean_tokens``
+    back as CDC update events (next LSNs) turns this into the lake
+    table's corrective maintenance op — see
+    tests/test_cdc_dedup_correct.py for the end-to-end loop through the
+    exactly-once merge.
 
     Same scale shape as the text variant (:func:`_masked_positions_core`
     — hash-gated position stream, two-phase keeper election, measured
@@ -747,16 +751,14 @@ def strip_dup_token_spans_rewrite(
         base.select("doc_id", "w", "n_words"), n, broadcast_hot, sep=":"
     )
     masks = _position_masks(masked, n, broadcast_hot)
-    return (
-        base.join(masks, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_words").alias("n_tok"),
-            F.size("mask").cast("long").alias("n_tok_masked"),
-            F.expr(
-                "filter(_toks, (x, i) -> NOT array_contains(mask, i))"
-            ).alias("clean_tokens"),
-        )
-        .orderBy(F.col("n_tok_masked").desc(), F.col("doc_id"))
-        .limit(k)
+    out = base.join(masks, "doc_id").select(
+        "doc_id",
+        F.col("n_words").alias("n_tok"),
+        F.size("mask").cast("long").alias("n_tok_masked"),
+        F.expr(
+            "filter(_toks, (x, i) -> NOT array_contains(mask, i))"
+        ).alias("clean_tokens"),
     )
+    if k is None:
+        return out
+    return out.orderBy(F.col("n_tok_masked").desc(), F.col("doc_id")).limit(k)

@@ -53,6 +53,18 @@ def main():
                     help="comma-separated source whitelist: re-validate quarantined "
                          "events against it and LWW-merge the now-valid ones "
                          "(dead-letter replay; run with the ingester stopped)")
+    ap.add_argument("--dedup-correct", type=int, default=0, metavar="N",
+                    help="ExactSubstr corrective pass: mask every non-keeper "
+                         "occurrence of a repeated N-token span across live docs and "
+                         "re-ingest the rewritten rows (DELETE when fully masked) as "
+                         "change events through the exactly-once merge. The corrective "
+                         "segment is persisted first (durable WAL). Run with the "
+                         "ingester stopped, or accept that a racing upstream update "
+                         "loses LWW to the correction's higher LSN.")
+    ap.add_argument("--corrective-wal-dir", default=None,
+                    help="where --dedup-correct persists its event segment "
+                         "(default: <table-dir>_corrective — a SIBLING of the table "
+                         "dir, never inside it, so snapshot GC can't collect it)")
     args = ap.parse_args()
     if args.expire_tombstones and not args.compact:
         ap.error("--expire-tombstones only acts during --compact; pass both")
@@ -107,6 +119,30 @@ def main():
         report["tombstones_expired_below"] = wm
     if args.compact_quarantine:
         report["quarantine_rows_archived"] = engine.compact_quarantine()
+    if args.dedup_correct:
+        from_lsn = engine.applied_lsn() + 1
+        seg = os.path.join(
+            args.corrective_wal_dir or (args.table_dir.rstrip("/") + "_corrective"),
+            f"from_lsn_{from_lsn}",
+        )
+        # persist first (mode=error: a leftover segment at this LSN means a
+        # previous pass crashed between write and apply — re-applying THAT
+        # segment is the correct resume, not regenerating events against a
+        # state it may already have half-changed)
+        engine.dedup_correct_events(n=args.dedup_correct).write.mode(
+            "error"
+        ).parquet(seg)
+        # idempotency is LSN-based; the batch id is informational (lineage,
+        # quarantine paths) — continue the table's own numbering
+        next_bid = int(engine.table.properties().get("last_batch_id", -1)) + 1
+        m = engine.apply_batch(spark.read.parquet(seg), batch_id=next_bid)
+        report["dedup_correct"] = {
+            "n": args.dedup_correct,
+            "segment": seg,
+            "rows_in": m.rows_in,
+            "rows_upserts": m.rows_upserts,
+            "rows_deletes": m.rows_deletes,
+        }
     if args.expire_snapshots:
         report["gc"] = engine.table.expire_snapshots(
             keep_last=args.expire_snapshots, grace_seconds=args.gc_grace

@@ -459,6 +459,33 @@ def test_fuzz_maintenance_interleaved_with_ingest(spark, tmp_path):
             elif op == "requeue":
                 eng.requeue_quarantine(widened)
                 oracle_requeue()
+
+        # corrective dedup as the closing maintenance op (jobs/maintain.py
+        # --dedup-correct): seed cross-doc duplicated spans, then
+        # detect → rewrite → re-ingest through the same merge. The oracle
+        # replays the engine's OWN corrective events (rewrite content has
+        # its own brute-force gates); what this fuzz adds is the
+        # interaction surface — corrections over a rebucketed/compacted/
+        # renamed table, and the vocab IVM staying consistent through
+        # them (asserted below vs full recompute).
+        wm = eng.applied_lsn()
+        boiler = [7, 11, 13, 17]
+        extra = [
+            {
+                "lsn": wm + 1 + j, "op": "insert", "doc_id": f"dup{j}",
+                "tokens": [900 + j] + boiler + [950 + j], "n_tok": 6,
+                "source": SOURCE_WHITELIST[0], "schema_change": None, "ts": None,
+            }
+            for j in range(3)
+        ]
+        eng.apply_batch(events_df(spark, extra), batch_id=90)
+        replay(extra, st)
+        rows = [r.asDict() for r in eng.dedup_correct_events(n=4).collect()]
+        # dup0 holds the keeper occurrence; dup1/dup2 must be corrected
+        assert {"dup1", "dup2"} <= {r["doc_id"] for r in rows}
+        eng.apply_batch(events_df(spark, rows), batch_id=91)
+        replay(rows, st)
+        ops_run.append("dedup_correct")
         ops_seen.update(ops_run)
 
         n = {c.id: c.name for c in eng.table.schema().columns}

@@ -107,3 +107,52 @@ def test_spark_submit_py_files_replay_matches_oracle(spark, tmp_path):
     assert _state_dict(engine) == expected
     oracle = replay(events)
     assert engine.quarantine().count() == len(oracle.quarantine)
+
+    # 6. Corrective maintenance in the same deployment shape: seed
+    #    cross-doc duplicated token spans, then run
+    #    `spark-submit --py-files engine.zip maintain.py --dedup-correct 4`
+    #    and check the rewrite landed through the merge.
+    wm = engine.applied_lsn()
+    boiler = [3, 5, 7, 9]
+    extra = [
+        {
+            "lsn": wm + 1 + j, "op": "insert", "doc_id": f"dup{j}",
+            "tokens": [400 + j] + boiler + [500 + j], "n_tok": 6,
+            "source": "web", "schema_change": None, "ts": None,
+        }
+        for j in range(3)
+    ]
+    engine.apply_batch(events_df(spark, extra), batch_id=999)
+    shutil.copy(os.path.join(ROOT, "jobs", "maintain.py"), scratch / "maintain.py")
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", "engine.zip",
+            "maintain.py",
+            "--table-dir", str(table_dir),
+            "--dedup-correct", "4",
+            "--corrective-wal-dir", str(tmp_path / "corrective_wal"),
+        ],
+        cwd=str(scratch), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"maintain failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+    report = json.loads(
+        proc.stdout[proc.stdout.index("{") : proc.stdout.rindex("}") + 1]
+    )
+    assert report["dedup_correct"]["rows_in"] == 2  # dup1, dup2 (dup0 keeps)
+    assert report["dedup_correct"]["rows_deletes"] == 0
+    eng2 = CdcEngine(spark, str(table_dir))
+    eng2.init()
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in eng2.state().collect()
+        if r["doc_id"].startswith("dup")
+    }
+    assert got == {
+        "dup0": [400, 3, 5, 7, 9, 500],  # keeper untouched
+        "dup1": [401, 501],
+        "dup2": [402, 502],
+    }
+    # the durable corrective segment exists (resume-able evidence)
+    assert os.path.isdir(str(tmp_path / "corrective_wal"))

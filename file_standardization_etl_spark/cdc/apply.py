@@ -529,9 +529,10 @@ class CdcEngine:
         return self._vocab.counts()
 
     def dedup_correct_events(self, n: int = 8, k: int | None = None) -> DataFrame:
-        """Corrective change events for cross-document duplicated
-        n-TOKEN spans in the CURRENT live state (ExactSubstr, Lee et
-        al. 2022): every non-keeper occurrence masked, affected rows
+        """Corrective change events for duplicated n-TOKEN spans in the
+        CURRENT live state — across or within documents, the full
+        ExactSubstr rule (Lee et al. 2022): every non-keeper occurrence
+        masked (keeper = corpus-global min (doc_id, pos)), affected rows
         emitted as UPDATE events carrying the cleaned token array (or
         DELETE when fully masked), with partition-parallel LSNs starting
         at ``applied_lsn() + 1``. Apply the result through

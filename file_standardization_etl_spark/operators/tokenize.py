@@ -723,7 +723,8 @@ def strip_dup_token_spans_rewrite(
     """:func:`strip_dup_spans_rewrite` in the engine's NATIVE payload
     domain — a token-array column (the north rule's `(doc_id,
     tokens: array<int>, …)` lake rows) instead of whitespace text:
-    every non-keeper occurrence of a repeated n-TOKEN span is masked and
+    every non-keeper occurrence of a repeated n-TOKEN span — across OR
+    within documents, the full ExactSubstr rule — is masked and
     affected rows come back as (doc_id, n_tok, n_tok_masked,
     clean_tokens) with the array element type preserved, top-``k`` by
     (n_tok_masked desc, doc_id). ``k=None`` returns EVERY affected row
@@ -738,14 +739,21 @@ def strip_dup_token_spans_rewrite(
     Same scale shape as the text variant (:func:`_masked_positions_core`
     — hash-gated position stream, two-phase keeper election, measured
     broadcasts): grams are ':'-joined string casts of the token slice,
-    injective because token renderings contain no ':'; the rebuild
+    injective because token renderings contain no ':'. A NULL element
+    renders as chr(1) rather than disappearing — ``concat_ws`` SKIPS
+    nulls, which would make slices of different lengths compare equal
+    and mask content that was never duplicated; chr(1) cannot collide
+    with an int rendering (string token ids must not contain chr(1),
+    a non-printing control byte no real tokenizer emits). The rebuild
     filters the ORIGINAL typed array row-locally, so payloads are never
     shuffled when the mask side broadcasts.
     """
     base = df.select(
         "doc_id",
         F.col(col).alias("_toks"),
-        F.expr(f"transform({col}, x -> cast(x as string))").alias("w"),
+        F.expr(
+            f"transform({col}, x -> coalesce(cast(x as string), chr(1)))"
+        ).alias("w"),
     ).select("doc_id", "_toks", "w", F.size("w").alias("n_words"))
     masked = _masked_positions_core(
         base.select("doc_id", "w", "n_words"), n, broadcast_hot, sep=":"

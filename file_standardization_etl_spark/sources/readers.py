@@ -316,6 +316,8 @@ def rewrites_as_update_events(
     rewrite side broadcast-eligible, and LSNs are assigned with the same
     partition-parallel numbering as the WAL bridge.
     """
+    from pyspark import StorageLevel
+
     src = state.select(F.col("doc_id").cast("string").alias("doc_id"), "source")
     base = (
         rewrite.select(
@@ -324,6 +326,13 @@ def rewrites_as_update_events(
         )
         .join(src, "doc_id")
     )
+    # Persist the joined corrective frame (affected rows only — small by
+    # construction) BEFORE LSN assignment: the numbering needs one counts
+    # job and the caller's write/apply is a second job, and without the
+    # persist each would re-run the whole detect+rewrite pipeline
+    # (including its table-state scans). The persist also pins the
+    # partitioning the per-partition offsets were computed from.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     numbered = assign_partition_parallel_lsns(base, lsn_start)
     empty = F.size("tokens") == 0
     return numbered.select(

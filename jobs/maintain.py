@@ -65,6 +65,12 @@ def main():
                     help="where --dedup-correct persists its event segment "
                          "(default: <table-dir>_corrective — a SIBLING of the table "
                          "dir, never inside it, so snapshot GC can't collect it)")
+    ap.add_argument("--whitelist", default=None,
+                    help="comma-separated source whitelist the ENGINE validates "
+                         "against (default: the built-in SOURCE_WHITELIST). Pass the "
+                         "widened list here if the table previously admitted extra "
+                         "sources via --requeue-whitelist — otherwise --dedup-correct "
+                         "events carrying those sources would re-quarantine")
     args = ap.parse_args()
     if args.expire_tombstones and not args.compact:
         ap.error("--expire-tombstones only acts during --compact; pass both")
@@ -77,7 +83,14 @@ def main():
     # requeue through a vocab-blind engine would silently desync it
     # (requeue_quarantine also guards against this)
     maintain_vocab = os.path.isdir(os.path.join(args.table_dir, "vocab", "_meta"))
-    engine = CdcEngine(spark, args.table_dir, maintain_vocab=maintain_vocab)
+    engine = CdcEngine(
+        spark,
+        args.table_dir,
+        maintain_vocab=maintain_vocab,
+        whitelist=(
+            [s for s in args.whitelist.split(",") if s] if args.whitelist else None
+        ),
+    )
     if not engine.table.exists():
         raise SystemExit(f"no table at {args.table_dir}")
     # run the engine's crash recovery (staged quarantine, archive swap,
@@ -125,13 +138,19 @@ def main():
             args.corrective_wal_dir or (args.table_dir.rstrip("/") + "_corrective"),
             f"from_lsn_{from_lsn}",
         )
-        # persist first (mode=error: a leftover segment at this LSN means a
-        # previous pass crashed between write and apply — re-applying THAT
-        # segment is the correct resume, not regenerating events against a
-        # state it may already have half-changed)
-        engine.dedup_correct_events(n=args.dedup_correct).write.mode(
-            "error"
-        ).parquet(seg)
+        # Persist-then-apply, resumable: an EXISTING segment at the current
+        # watermark means a previous pass either crashed between write and
+        # apply, or applied an all-no-op segment (empty / all-quarantined —
+        # the watermark didn't move). Re-applying THAT segment is the
+        # correct action in both cases: its events were generated against
+        # the state a half-applied pass may already have changed, and
+        # re-application is LSN-idempotent. New corrections can only exist
+        # once new events moved the watermark, which changes the path.
+        resumed = os.path.isdir(seg)
+        if not resumed:
+            engine.dedup_correct_events(n=args.dedup_correct).write.mode(
+                "error"
+            ).parquet(seg)
         # idempotency is LSN-based; the batch id is informational (lineage,
         # quarantine paths) — continue the table's own numbering
         next_bid = int(engine.table.properties().get("last_batch_id", -1)) + 1
@@ -139,9 +158,14 @@ def main():
         report["dedup_correct"] = {
             "n": args.dedup_correct,
             "segment": seg,
+            "resumed_existing_segment": resumed,
             "rows_in": m.rows_in,
             "rows_upserts": m.rows_upserts,
             "rows_deletes": m.rows_deletes,
+            # non-zero here means corrections were REJECTED (e.g. the
+            # engine's whitelist is narrower than what previously admitted
+            # these sources — rerun with --whitelist)
+            "rows_quarantined": m.rows_quarantined,
         }
     if args.expire_snapshots:
         report["gc"] = engine.table.expire_snapshots(

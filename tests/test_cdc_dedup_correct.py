@@ -137,3 +137,28 @@ def test_strip_dup_token_spans_rewrite_matches_bruteforce(spark):
             ).collect()
         ]
         assert got == want
+
+
+def test_null_tokens_do_not_collide_grams(spark):
+    """concat_ws SKIPS nulls, so without a null sentinel the slices
+    [5,None,7,9] and [None,5,7,9] would render identically ('5:7:9') and
+    mask content that was never duplicated. Distinct null-bearing slices
+    must not match; identical null-bearing slices must."""
+    df = spark.createDataFrame(
+        [
+            ("a", [5, None, 7, 9]),
+            ("b", [None, 5, 7, 9]),  # different slice, same null-skipped render
+            ("c", [8, None, 9, 2]),
+            ("d", [8, None, 9, 2]),  # true duplicate incl. the null position
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = [
+        (r["doc_id"], list(r["clean_tokens"]))
+        for r in tokenize.strip_dup_token_spans_rewrite(
+            df, col="tokens", n=4, k=10
+        ).collect()
+    ]
+    # only d (the non-keeper of the c/d duplicate) is corrected — to empty;
+    # a and b are NOT duplicates of each other and must be untouched
+    assert got == [("d", [])]

@@ -137,9 +137,11 @@ def test_spark_submit_py_files_replay_matches_oracle(spark, tmp_path):
         cwd=str(scratch), env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, f"maintain failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
-    report = json.loads(
-        proc.stdout[proc.stdout.index("{") : proc.stdout.rindex("}") + 1]
-    )
+    # the report is the LAST JSON object on stdout (indent=1, multi-line);
+    # slice from the last line-initial '{' so an earlier brace-bearing log
+    # line cannot corrupt the parse
+    start = proc.stdout.rindex("\n{") + 1
+    report = json.loads(proc.stdout[start : proc.stdout.rindex("}") + 1])
     assert report["dedup_correct"]["rows_in"] == 2  # dup1, dup2 (dup0 keeps)
     assert report["dedup_correct"]["rows_deletes"] == 0
     eng2 = CdcEngine(spark, str(table_dir))
@@ -156,3 +158,29 @@ def test_spark_submit_py_files_replay_matches_oracle(spark, tmp_path):
     }
     # the durable corrective segment exists (resume-able evidence)
     assert os.path.isdir(str(tmp_path / "corrective_wal"))
+
+    # 7. Repeatability: a second pass finds nothing (writes an empty
+    #    segment at the advanced watermark) and a third pass RESUMES that
+    #    existing segment instead of dying on mode=error — the regression
+    #    where routine periodic runs permanently failed once a segment
+    #    existed at the current watermark.
+    for expect_resumed in (False, True):
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--py-files", "engine.zip",
+                "maintain.py",
+                "--table-dir", str(table_dir),
+                "--dedup-correct", "4",
+                "--corrective-wal-dir", str(tmp_path / "corrective_wal"),
+            ],
+            cwd=str(scratch), env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, (
+            f"repeat maintain failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+        )
+        start = proc.stdout.rindex("\n{") + 1
+        rep = json.loads(proc.stdout[start : proc.stdout.rindex("}") + 1])
+        assert rep["dedup_correct"]["rows_in"] == 0
+        assert rep["dedup_correct"]["resumed_existing_segment"] is expect_resumed
